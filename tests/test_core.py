@@ -1,0 +1,100 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nunchaku_tpu.core.dtypes import dequantize_e2m1, quantize_e2m1
+from nunchaku_tpu.core.module import Module
+from nunchaku_tpu.core.packing import PACK_BLOCK, pack_int4, unpack_int4
+
+
+class TestPacking:
+    @pytest.mark.parametrize("axis", [0, 1, -1])
+    def test_roundtrip_signed(self, axis):
+        rng = np.random.default_rng(0)
+        shape = [PACK_BLOCK * 2, PACK_BLOCK * 3]
+        vals = rng.integers(-8, 8, size=shape).astype(np.int8)
+        packed = pack_int4(jnp.asarray(vals), axis=axis)
+        assert packed.shape[axis % 2] == shape[axis % 2] // 2
+        out = unpack_int4(packed, axis=axis)
+        np.testing.assert_array_equal(np.asarray(out), vals)
+
+    def test_roundtrip_unsigned(self):
+        rng = np.random.default_rng(1)
+        vals = rng.integers(0, 16, size=(8, PACK_BLOCK)).astype(np.uint8)
+        packed = pack_int4(jnp.asarray(vals), axis=-1)
+        out = unpack_int4(packed, axis=-1, unsigned=True)
+        np.testing.assert_array_equal(np.asarray(out), vals)
+
+    def test_layout_block_split_half(self):
+        # byte j of a block stores elements j (low) and j+128 (high)
+        vals = jnp.arange(PACK_BLOCK, dtype=jnp.int32) % 8
+        packed = np.asarray(pack_int4(vals[None, :], axis=-1))[0]
+        lo = packed.astype(np.int8) & 0xF
+        hi = (packed.astype(np.int8) >> 4) & 0xF
+        np.testing.assert_array_equal(lo, np.asarray(vals[:128]) & 0xF)
+        np.testing.assert_array_equal(hi, np.asarray(vals[128:]) & 0xF)
+
+
+class TestE2M1:
+    def test_roundtrip_exact_grid(self):
+        grid = jnp.array([0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0, -0.5, -6.0])
+        codes = quantize_e2m1(grid)
+        np.testing.assert_allclose(np.asarray(dequantize_e2m1(codes)), np.asarray(grid))
+
+    def test_rounding(self):
+        x = jnp.array([0.24, 0.26, 2.4, 2.6, 5.2, 100.0, -100.0])
+        out = dequantize_e2m1(quantize_e2m1(x))
+        np.testing.assert_allclose(
+            np.asarray(out), [0.0, 0.5, 2.0, 3.0, 6.0, 6.0, -6.0]
+        )
+
+    def test_ties_to_even(self):
+        x = jnp.array([0.25, 0.75, 2.5, 3.5, 5.0])
+        out = dequantize_e2m1(quantize_e2m1(x))
+        np.testing.assert_allclose(np.asarray(out), [0.0, 1.0, 2.0, 4.0, 4.0])
+
+
+class _Leaf(Module):
+    def __init__(self, n):
+        self.w = jnp.ones((n,))
+        self.n = n
+
+
+class _Net(Module):
+    def __init__(self):
+        self.a = _Leaf(2)
+        self.blocks = [_Leaf(3), _Leaf(4)]
+        self.name = "net"
+
+
+class TestModule:
+    def test_named_parameters(self):
+        net = _Net()
+        names = [n for n, _ in net.named_parameters()]
+        assert names == ["a.w", "blocks.0.w", "blocks.1.w"]
+
+    def test_pytree_jit(self):
+        net = _Net()
+
+        @jax.jit
+        def f(m):
+            return m.a.w.sum() + m.blocks[1].w.sum()
+
+        assert float(f(net)) == 6.0
+
+    def test_load_state_dict_partial(self):
+        net = _Net()
+        net.load_state_dict({"blocks.0.w": jnp.zeros((3,))}, partial=True)
+        assert float(net.blocks[0].w.sum()) == 0.0
+        assert float(net.blocks[1].w.sum()) == 4.0
+        with pytest.raises(KeyError):
+            net.load_state_dict({"bogus.w": jnp.zeros((1,))}, partial=True)
+        with pytest.raises(KeyError):
+            net.load_state_dict({"a.w": jnp.zeros((2,))}, partial=False)
+
+    def test_static_config_in_treedef(self):
+        net = _Net()
+        leaves, treedef = jax.tree.flatten(net)
+        net2 = jax.tree.unflatten(treedef, leaves)
+        assert net2.name == "net" and net2.a.n == 2
