@@ -1,0 +1,260 @@
+"""Quantized linear layers (TPU layouts, Pallas hot path).
+
+Counterparts of the reference's nunchaku/models/linear.py:
+  * SVDQW4A4Linear (:13)  — W4A4 SVDQuant linear with rank-r SVD branch
+  * AWQW4A16Linear (:277) — weight-only 4-bit linear (AdaLN modulation)
+
+plus conveniences the reference does not have: ``from_weights`` quantizes a
+bf16 weight on the fly (randomized SVD + absmax grouping) so any bf16
+checkpoint can be served 4-bit without a pre-quantized artifact.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..core.module import Module
+from ..core.packing import pack_int4
+from ..ops import reference as R
+from ..ops.gemm import svdq_gemm_w4a4
+from ..ops.gemv import awq_w4a16_linear
+from ..ops.quantize import quantize_w4a4_act_fuse_lora
+
+PAD_TOKENS = 256  # batch padding quantum (reference pads M to 256, Linear.cpp:445)
+
+
+def pad_rows(x: jnp.ndarray, multiple: int = PAD_TOKENS) -> jnp.ndarray:
+    m = x.shape[0]
+    pad = (-m) % multiple
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, pad), (0, 0)))
+
+
+class Linear(Module):
+    """Plain bf16 linear, weight stored (K, N)."""
+
+    def __init__(self, weight: jnp.ndarray, bias: jnp.ndarray | None = None):
+        self.weight = weight
+        self.bias = bias
+
+    @classmethod
+    def random_init(cls, key, in_features, out_features, bias=True, dtype=jnp.bfloat16):
+        k1, k2 = jax.random.split(key)
+        std = 1.0 / math.sqrt(in_features)
+        w = jax.random.normal(k1, (in_features, out_features), dtype) * std
+        b = jax.random.normal(k2, (out_features,), dtype) * 0.02 if bias else None
+        return cls(w, b)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out = jnp.dot(
+            x.astype(jnp.bfloat16),
+            self.weight.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        if self.bias is not None:
+            out = out + self.bias.astype(jnp.float32)
+        return out.astype(x.dtype)
+
+
+class SVDQW4A4Linear(Module):
+    """SVDQuant W4A4 linear.
+
+    Parameters (TPU layouts):
+      qweight   (K/2, N) int8   — packed 4-bit residual weight
+      wscales   (K/G, N) bf16   — per-group scales (nvfp4: alpha/wcscales folded)
+      smooth    (K,)     bf16   — activation smoothing factor
+      proj_down (K, R)   bf16   — SVD low-rank down
+      proj_up   (R, N)   bf16   — SVD low-rank up
+      bias      (N,)     bf16 or None
+    """
+
+    def __init__(
+        self,
+        qweight,
+        wscales,
+        smooth,
+        proj_down,
+        proj_up,
+        bias=None,
+        *,
+        precision: str = "int4",
+        act_unsigned: bool = False,
+    ):
+        self.qweight = qweight
+        self.wscales = wscales
+        self.smooth = smooth
+        self.proj_down = proj_down
+        self.proj_up = proj_up
+        self.bias = bias
+        self.precision = precision
+        self.act_unsigned = act_unsigned
+        self.in_features = qweight.shape[0] * 2
+        self.out_features = qweight.shape[1]
+        self.rank = proj_down.shape[1]
+
+    # -- constructors --------------------------------------------------------
+    @classmethod
+    def random_init(
+        cls,
+        key,
+        in_features,
+        out_features,
+        rank=32,
+        bias=True,
+        precision="int4",
+        act_unsigned=False,
+    ):
+        ks = jax.random.split(key, 5)
+        g = R.group_size(precision)
+        qw = jax.random.randint(ks[0], (in_features // 2, out_features), -128, 128, jnp.int8)
+        std = 1.0 / math.sqrt(in_features)
+        ws = (jnp.abs(jax.random.normal(ks[1], (in_features // g, out_features))) * std / 7).astype(jnp.bfloat16)
+        smooth = jnp.ones((in_features,), jnp.bfloat16)
+        pd = jax.random.normal(ks[2], (in_features, rank), jnp.bfloat16) * 0.02
+        pu = jax.random.normal(ks[3], (rank, out_features), jnp.bfloat16) * 0.02
+        b = jax.random.normal(ks[4], (out_features,), jnp.bfloat16) * 0.02 if bias else None
+        return cls(qw, ws, smooth, pd, pu, b, precision=precision, act_unsigned=act_unsigned)
+
+    @classmethod
+    def from_weights(
+        cls,
+        weight: jnp.ndarray,
+        bias: jnp.ndarray | None = None,
+        *,
+        rank: int = 32,
+        precision: str = "int4",
+        act_unsigned: bool = False,
+        key=None,
+        power_iters: int = 2,
+    ):
+        """Quantize a bf16 (K, N) weight: rank-r randomized SVD branch +
+        4-bit group-quantized residual. Smooth factor defaults to ones
+        (calibration-free path)."""
+        k_dim, n = weight.shape
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        w32 = weight.astype(jnp.float32)
+        # randomized SVD: range finding on W with a few power iterations
+        p = min(rank + 8, min(k_dim, n))
+        g = jax.random.normal(key, (n, p), jnp.float32)
+        y = w32 @ g
+        for _ in range(power_iters):
+            y, _ = jnp.linalg.qr(y)
+            y = w32 @ (w32.T @ y)
+        q, _ = jnp.linalg.qr(y)  # (K, p)
+        b_small = q.T @ w32  # (p, N)
+        u, s, vt = jnp.linalg.svd(b_small, full_matrices=False)
+        pd = (q @ u[:, :rank]) * s[:rank][None, :]  # (K, r)
+        pu = vt[:rank]  # (r, N)
+        resid = w32 - pd @ pu
+        qw, ws, alpha = R.quantize_weight(resid, precision=precision)
+        if precision == "nvfp4":
+            ws = ws * alpha
+        return cls(
+            pack_int4(qw, axis=0),
+            ws.astype(jnp.bfloat16),
+            jnp.ones((k_dim,), jnp.bfloat16),
+            pd.astype(jnp.bfloat16),
+            pu.astype(jnp.bfloat16),
+            None if bias is None else bias.astype(jnp.bfloat16),
+            precision=precision,
+            act_unsigned=act_unsigned,
+        )
+
+    # -- forward -------------------------------------------------------------
+    def quantize(self, x2d: jnp.ndarray):
+        """(M, K) -> (qact, ascales_t, lora_act), M padded to 256."""
+        x2d = pad_rows(x2d)
+        return quantize_w4a4_act_fuse_lora(
+            x2d,
+            self.proj_down,
+            self.smooth,
+            precision=self.precision,
+            act_unsigned=self.act_unsigned,
+        )
+
+    def forward_quant(self, qact, ascales_t, lora_act):
+        return svdq_gemm_w4a4(
+            qact,
+            ascales_t,
+            self.qweight,
+            self.wscales,
+            lora_act,
+            self.proj_up,
+            self.bias,
+            precision=self.precision,
+            act_unsigned=self.act_unsigned,
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        lead = x.shape[:-1]
+        m = math.prod(lead)
+        x2d = x.reshape(m, self.in_features)
+        out = self.forward_quant(*self.quantize(x2d))
+        return out[:m].reshape(*lead, self.out_features).astype(x.dtype)
+
+
+class AWQW4A16Linear(Module):
+    """Weight-only 4-bit linear (AWQ-style) for small-M modulation layers.
+
+    Parameters:
+      qweight (K/2, N) int8 — packed 4-bit codes (unsigned 0..15)
+      wscales (K/G, N) bf16
+      wzeros  (K/G, N) bf16 — pre-scaled zero points; w = q * s - z
+      bias    (N,) or None
+    """
+
+    def __init__(self, qweight, wscales, wzeros, bias=None, *, group_size: int = 64):
+        self.qweight = qweight
+        self.wscales = wscales
+        self.wzeros = wzeros
+        self.bias = bias
+        self.group_size = group_size
+        self.in_features = qweight.shape[0] * 2
+        self.out_features = qweight.shape[1]
+
+    @classmethod
+    def from_weights(cls, weight: jnp.ndarray, bias=None, *, group_size: int = 64):
+        """Asymmetric 4-bit groupwise quantization of a (K, N) weight."""
+        k_dim, n = weight.shape
+        w = weight.astype(jnp.float32).reshape(k_dim // group_size, group_size, n)
+        wmax = jnp.max(w, axis=1)
+        wmin = jnp.min(w, axis=1)
+        scale = (wmax - wmin) / 15.0
+        safe = jnp.where(scale == 0, 1.0, scale)
+        q = jnp.clip(jnp.round((w - wmin[:, None, :]) / safe[:, None, :]), 0, 15)
+        zeros = -wmin  # w = q * s - z  with z = -wmin
+        return cls(
+            pack_int4(q.reshape(k_dim, n).astype(jnp.int8), axis=0),
+            scale.astype(jnp.bfloat16),
+            zeros.astype(jnp.bfloat16),
+            None if bias is None else bias.astype(jnp.bfloat16),
+            group_size=group_size,
+        )
+
+    @classmethod
+    def random_init(cls, key, in_features, out_features, bias=True, group_size=64):
+        ks = jax.random.split(key, 4)
+        std = 1.0 / math.sqrt(in_features)
+        qw = jax.random.randint(ks[0], (in_features // 2, out_features), -128, 128, jnp.int8)
+        ws = (jnp.abs(jax.random.normal(ks[1], (in_features // group_size, out_features))) * std / 8).astype(jnp.bfloat16)
+        wz = (jax.random.normal(ks[2], (in_features // group_size, out_features)) * std).astype(jnp.bfloat16)
+        b = jax.random.normal(ks[3], (out_features,), jnp.bfloat16) * 0.02 if bias else None
+        return cls(qw, ws, wz, b, group_size=group_size)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        lead = x.shape[:-1]
+        m = math.prod(lead)
+        out = awq_w4a16_linear(
+            x.reshape(m, self.in_features),
+            self.qweight,
+            self.wscales,
+            self.wzeros,
+            self.bias,
+            group_size=self.group_size,
+        )
+        return out.reshape(*lead, self.out_features).astype(x.dtype)

@@ -1,0 +1,160 @@
+"""Flash attention Pallas kernel (the "nunchaku-fp16 attention" counterpart).
+
+TPU-native replacement for the reference's fused FP16-accumulation flash
+attention (src/kernels/attention.cuh, attention.cu:49 — exp2 trick,
+HEAD_DIM=128, BLOCK_M=128, ~1.2x over FlashAttention-2) and for its FA2
+path (third_party Block-Sparse-Attention mha_fwd). Instead of packed-QKV
+CUDA fragments we take plain (B, H, S, D) arrays; the online-softmax
+running max/sum lives in VMEM scratch and both matmuls ride the MXU in
+bf16 with f32 accumulation.
+
+Non-causal full attention (diffusion transformers attend densely). The
+softmax uses the same exp2 rescaling trick as the reference: fold
+log2(e) * scale into the logits and use 2^x.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+LOG2E = math.log2(math.e)
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float, kv_len: int
+):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (bkv, d)
+    v = v_ref[0]  # (bkv, d)
+
+    # logits in log2 domain: s = (q . k) * scale * log2(e)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * (scale * LOG2E)
+
+    bkv = k.shape[0]
+    if kv_len % bkv:
+        # mask the padded tail of the last kv block
+        base = j * bkv
+        col = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_scr[...]  # (bq, 128) replicated
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
+    m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+
+    p = jnp.exp2(s - m_new[:, :1])  # (bq, bkv)
+    alpha = jnp.exp2(m_prev - m_new)  # (bq, 128)
+
+    l_scr[...] = l_scr[...] * alpha + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), m_prev.shape
+    )
+    m_scr[...] = m_new
+    acc_scr[...] = acc_scr[...] * alpha[:, :1] + jnp.dot(
+        p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nj - 1)
+    def _done():
+        o_ref[0] = (acc_scr[...] / l_scr[...][:, :1]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "bq", "bkv", "interpret")
+)
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float | None = None,
+    bq: int = 512,
+    bkv: int = 1024,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Dense non-causal attention over (B, H, S, D) bf16 tensors.
+
+    S may be ragged (padded internally to the block size); D should be a
+    multiple of 128 (FLUX/SANA use 128/32-per-head packed into 128 lanes).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    bq = min(bq, _round_up(sq, 128))
+    bkv = min(bkv, _round_up(skv, 128))
+    pq = (-sq) % bq
+    pkv = (-skv) % bkv
+    if pq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pq), (0, 0)))
+    if pkv:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pkv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pkv), (0, 0)))
+
+    bh = b * h
+    q3 = q.reshape(bh, sq + pq, d)
+    k3 = k.reshape(bh, skv + pkv, d)
+    v3 = v.reshape(bh, skv + pkv, d)
+
+    grid = (bh, (sq + pq) // bq, (skv + pkv) // bkv)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, kv_len=skv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, d), lambda g, i, j: (g, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, d), lambda g, i, j: (g, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, d), lambda g, i, j: (g, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, sq + pq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * (sq + pq) * (skv + pkv) * d,
+            bytes_accessed=2 * bh * (sq + skv * 2 + sq) * d,
+            transcendentals=bh * (sq + pq) * (skv + pkv),
+        ),
+        interpret=interpret,
+    )(q3, k3, v3)
+    return out[:, :sq].reshape(b, h, sq, d)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def sdpa_reference(q, k, v, scale=None):
+    """jnp oracle for tests."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    p = jax.nn.softmax(s * scale, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)

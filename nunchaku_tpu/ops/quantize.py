@@ -1,0 +1,111 @@
+"""On-the-fly activation quantization (+ fused LoRA down-projection).
+
+TPU-native counterpart of the reference's ``quantize_w4a4_act_fuse_lora``
+CUDA kernel (src/kernels/zgemm/gemm_w4a4.cuh:1098-1187 and Python wrapper
+nunchaku/ops/quantize.py:11): divides by the SVDQuant smooth factor,
+quantizes per-token per-group (G=64 int4 absmax/7, G=16 nvfp4 e2m1 with
+e4m3 scales), packs two nibbles per byte, and computes the low-rank branch
+``lora_act = x @ proj_down`` on the *raw* activation with f32 accumulation.
+
+This op is bandwidth-bound and reshape/reduction-heavy (64-minor group
+reductions that Mosaic cannot lower today), so it runs as straight XLA —
+the reductions, rounding, and nibble packing all fuse into one pass over
+the activation; the lora matmul rides the MXU. The packed-int4 output is
+what keeps the downstream Pallas GEMM HBM traffic at 4 bits.
+
+Output layouts (canonical for nunchaku_tpu kernels):
+  qact    (M, K/2)  int8  — block-split-half packed (core/packing.py)
+  ascales (K/G, M)  bf16  — token-minor, like the reference's [K//G, M]
+  lora_act (M, R)   f32
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dtypes import E2M1_MAX
+from ..core.packing import pack_int4
+from .reference import GROUP_FP4, GROUP_INT4, GELU_SHIFT
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "act_unsigned", "fuse_glu"))
+def quantize_w4a4_act_fuse_lora(
+    x: jnp.ndarray,
+    proj_down: jnp.ndarray,
+    smooth: jnp.ndarray | None = None,
+    *,
+    precision: str = "int4",
+    act_unsigned: bool = False,
+    fuse_glu: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Quantize (M, K) activations; return (qact, ascales_t, lora_act).
+
+    ``fuse_glu`` mirrors the reference's GLU fusion: the input is (M, 2K)
+    laid out [gate, up] and the quantized value is ``silu(gate) * up``
+    (used by SANA's GLUMBConv path).
+    """
+    if fuse_glu:
+        k2 = x.shape[-1] // 2
+        gate, up = x[..., :k2], x[..., k2:]
+        x = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(
+            x.dtype
+        )
+
+    m, k = x.shape
+    lora_act = jnp.dot(
+        x.astype(jnp.bfloat16),
+        proj_down.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+    xs = x.astype(jnp.float32)
+    if act_unsigned:
+        xs = xs + GELU_SHIFT
+    if smooth is not None:
+        xs = xs / smooth.astype(jnp.float32)[None, :]
+
+    g = GROUP_INT4 if precision == "int4" else GROUP_FP4
+    grp = xs.reshape(m, k // g, g)
+    absmax = jnp.max(jnp.abs(grp), axis=-1)
+
+    if precision == "int4":
+        qmax = 15.0 if act_unsigned else 7.0
+        # round the scale to its bf16 storage precision *before* dividing so
+        # quantize and dequantize use the identical scale (the reference
+        # computes/stores half-precision scales, gemm_w4a4.cuh:594-610)
+        scale = (absmax / qmax).astype(jnp.bfloat16).astype(jnp.float32)
+        safe = jnp.where(scale == 0, 1.0, scale)
+        q = jnp.round(grp / safe[..., None])
+        q = jnp.clip(q, 0.0 if act_unsigned else -qmax, qmax)
+        q = jnp.where(scale[..., None] == 0, 0.0, q).astype(jnp.int8)
+    else:
+        scale = (absmax / E2M1_MAX).astype(jnp.float8_e4m3fn).astype(jnp.float32)
+        safe = jnp.where(scale == 0, 1.0, scale)
+        v = grp / safe[..., None]
+        # e2m1 round-to-nearest-even (arithmetic form): snap |v| to the grid
+        # {0, .5, 1, 1.5, 2, 3, 4, 6}, whose spacing is 2^(e-1) with
+        # e = clip(floor(log2|v|), 0, 2) (subnormals share the 0.5 spacing).
+        av = jnp.clip(jnp.abs(v), 0.0, E2M1_MAX)
+        e = jnp.clip(jnp.floor(jnp.log2(jnp.maximum(av, 1.0))), 0.0, 2.0)
+        step = jnp.exp2(e - 1.0)
+        mag = jnp.round(av / step) * step
+        q_val = jnp.where(v < 0, -mag, mag)
+        q = _e2m1_value_to_code(q_val)
+
+    qact = pack_int4(q.reshape(m, k), axis=-1)
+    ascales_t = scale.T.astype(jnp.bfloat16)
+    return qact, ascales_t, lora_act
+
+
+def _e2m1_value_to_code(v: jnp.ndarray) -> jnp.ndarray:
+    """Map exact e2m1 values {0,±.5,±1,±1.5,±2,±3,±4,±6} to int8 codes."""
+    a = jnp.abs(v)
+    # magnitudes are exactly representable; 2*a gives {0,1,2,3,4,6,8,12}
+    t = (2.0 * a).astype(jnp.int32)
+    idx = jnp.where(
+        t <= 4, t, jnp.where(t == 6, 5, jnp.where(t == 8, 6, 7))
+    ).astype(jnp.int8)
+    return jnp.where(v < 0, -idx, idx).astype(jnp.int8)
