@@ -43,10 +43,18 @@ class Module:
 
     # -- pytree protocol ----------------------------------------------------
     def _tree_flatten_with_keys(self):
+        # Which attributes are pytree children is decided by value on first
+        # flatten and then *pinned* (``_dyn_keys``): trees produced by
+        # jax.tree.map with non-array leaves (PartitionSpecs, shapes, ...)
+        # must keep the identical structure or mapping over (model, specs)
+        # pairs breaks.
+        pinned = self.__dict__.get("_dyn_keys")
         dyn_keys, dyn_vals, static = [], [], []
         for k in sorted(self.__dict__):
+            if k == "_dyn_keys":
+                continue
             v = self.__dict__[k]
-            if _is_dynamic(v):
+            if (k in pinned) if pinned is not None else _is_dynamic(v):
                 dyn_keys.append(k)
                 dyn_vals.append((jax.tree_util.GetAttrKey(k), v))
             else:
@@ -61,6 +69,7 @@ class Module:
             object.__setattr__(obj, k, v)
         for k, v in static:
             object.__setattr__(obj, k, v)
+        object.__setattr__(obj, "_dyn_keys", frozenset(dyn_keys))
         return obj
 
     # -- parameter registry --------------------------------------------------
@@ -113,8 +122,8 @@ def _walk(name: str, v: Any) -> Iterator[tuple[str, jax.Array]]:
         for i, x in enumerate(v):
             yield from _walk(f"{name}.{i}", x)
     elif isinstance(v, dict):
-        for k, x in v.items():
-            yield from _walk(f"{name}.{k}", x)
+        for k in sorted(v):  # match pytree dict flatten order
+            yield from _walk(f"{name}.{k}", v[k])
 
 
 def _walk_modules(name: str, v: Any) -> Iterator[tuple[str, Module]]:

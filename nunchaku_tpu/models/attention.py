@@ -1,0 +1,177 @@
+"""Attention and feed-forward modules over the quantized kernels.
+
+Counterparts of nunchaku/models/attention.py (NunchakuBaseAttention :14,
+NunchakuFeedForward :76), the FLUX attention processors
+(nunchaku/models/attention_processors/flux.py), and ops/fused.py
+(fused_gelu_mlp :14, fused_qkv_norm_rottary :80). QKV is one fused
+SVDQW4A4Linear (fuse_linears pattern, transformer_flux_v2.py:63-80); Q/K
+RMSNorm + RoPE run as XLA fused elementwise between the GEMM and the
+flash-attention kernel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.module import Module
+from ..ops.attention import flash_attention
+from ..ops.reference import GELU_SHIFT, rmsnorm
+from .embeddings import apply_rope
+from .linear import SVDQW4A4Linear
+
+
+def qkv_norm_rope(
+    qkv: jnp.ndarray,
+    head_dim: int,
+    norm_q: jnp.ndarray | None,
+    norm_k: jnp.ndarray | None,
+    rot: jnp.ndarray | None,
+    eps: float = 1e-6,
+):
+    """(B, S, 3HD) fused-qkv output -> per-head q, k, v (B, H, S, D).
+
+    The head count comes from the array shape: under tensor parallelism
+    (heads sharded over the mesh) this sees the local head count.
+    """
+    b, s, _ = qkv.shape
+    heads = qkv.shape[-1] // 3 // head_dim
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads_first(t):
+        return t.reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
+
+    q, k, v = heads_first(q), heads_first(k), heads_first(v)
+    if norm_q is not None:
+        q = rmsnorm(q, norm_q, eps).astype(qkv.dtype)
+    if norm_k is not None:
+        k = rmsnorm(k, norm_k, eps).astype(qkv.dtype)
+    if rot is not None:
+        q = apply_rope(q, rot)
+        k = apply_rope(k, rot)
+    return q, k, v
+
+
+class FluxAttention(Module):
+    """Joint text+image attention with fused quantized QKV.
+
+    For dual-stream blocks: separate img (to_qkv/to_out) and txt
+    (add_qkv_proj/to_add_out) projections, concatenated [txt; img] for the
+    joint attention (reference concat order: encoder first,
+    attention_processors/flux.py:75-83).
+    For single-stream blocks (pre_only): to_qkv only, no output proj here.
+    """
+
+    def __init__(
+        self,
+        to_qkv: SVDQW4A4Linear,
+        norm_q,
+        norm_k,
+        to_out: SVDQW4A4Linear | None = None,
+        add_qkv_proj: SVDQW4A4Linear | None = None,
+        norm_added_q=None,
+        norm_added_k=None,
+        to_add_out: SVDQW4A4Linear | None = None,
+        *,
+        heads: int,
+        head_dim: int,
+    ):
+        self.to_qkv = to_qkv
+        self.norm_q = norm_q
+        self.norm_k = norm_k
+        self.to_out = to_out
+        self.add_qkv_proj = add_qkv_proj
+        self.norm_added_q = norm_added_q
+        self.norm_added_k = norm_added_k
+        self.to_add_out = to_add_out
+        self.heads = heads
+        self.head_dim = head_dim
+        # set by parallel.tp.parallelize(): mesh axis for row-parallel psum
+        self.tp_axis = None
+
+    @classmethod
+    def random_init(cls, key, dim, heads, head_dim, joint=True, rank=32, precision="int4"):
+        ks = jax.random.split(key, 4)
+        inner = heads * head_dim
+        to_qkv = SVDQW4A4Linear.random_init(ks[0], dim, 3 * inner, rank=rank, precision=precision)
+        norm_q = jnp.ones((head_dim,), jnp.bfloat16)
+        norm_k = jnp.ones((head_dim,), jnp.bfloat16)
+        if joint:
+            return cls(
+                to_qkv, norm_q, norm_k,
+                to_out=SVDQW4A4Linear.random_init(ks[1], inner, dim, rank=rank, precision=precision),
+                add_qkv_proj=SVDQW4A4Linear.random_init(ks[2], dim, 3 * inner, rank=rank, precision=precision),
+                norm_added_q=jnp.ones((head_dim,), jnp.bfloat16),
+                norm_added_k=jnp.ones((head_dim,), jnp.bfloat16),
+                to_add_out=SVDQW4A4Linear.random_init(ks[3], inner, dim, rank=rank, precision=precision),
+                heads=heads, head_dim=head_dim,
+            )
+        return cls(to_qkv, norm_q, norm_k, heads=heads, head_dim=head_dim)
+
+    def _psum(self, x):
+        if self.tp_axis is not None:
+            return jax.lax.psum(x, self.tp_axis)
+        return x
+
+    def __call__(self, hidden, encoder_hidden=None, rot=None):
+        """Dual: returns (img_attn_out, txt_attn_out). Single: raw attn (B,S,HD)."""
+        b, s_img, _ = hidden.shape
+        qkv = self.to_qkv(hidden)
+        if encoder_hidden is None:
+            q, k, v = qkv_norm_rope(qkv, self.head_dim, self.norm_q, self.norm_k, rot)
+            o = flash_attention(q, k, v)
+            return o.transpose(0, 2, 1, 3).reshape(b, s_img, -1)
+
+        s_txt = encoder_hidden.shape[1]
+        qkv_txt = self.add_qkv_proj(encoder_hidden)
+        rot_txt = rot[:s_txt] if rot is not None else None
+        rot_img = rot[s_txt:] if rot is not None else None
+        q_i, k_i, v_i = qkv_norm_rope(qkv, self.head_dim, self.norm_q, self.norm_k, rot_img)
+        q_t, k_t, v_t = qkv_norm_rope(
+            qkv_txt, self.head_dim, self.norm_added_q, self.norm_added_k, rot_txt
+        )
+        q = jnp.concatenate([q_t, q_i], axis=2)
+        k = jnp.concatenate([k_t, k_i], axis=2)
+        v = jnp.concatenate([v_t, v_i], axis=2)
+        o = flash_attention(q, k, v)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s_txt + s_img, -1)
+        txt_o, img_o = o[:, :s_txt], o[:, s_txt:]
+        # to_out / to_add_out are row-parallel under TP: partial sums reduce
+        # over the mesh (Megatron pairing, all compute stays on ICI)
+        return self._psum(self.to_out(img_o)), self._psum(self.to_add_out(txt_o))
+
+
+class FeedForward(Module):
+    """fc1 -> GELU(tanh) -> fc2, with the GELU+shift requantize chain.
+
+    The int4 path quantizes the (non-negative) shifted GELU output with
+    unsigned 4-bit for the second GEMM (reference fused_gelu_mlp,
+    ops/fused.py:14-83; +0.171875 shift gemm_w4a4_launch_impl.cuh:286).
+    """
+
+    def __init__(self, fc1: SVDQW4A4Linear, fc2: SVDQW4A4Linear):
+        self.fc1 = fc1
+        self.fc2 = fc2
+        self.tp_axis = None  # set by parallel.tp.parallelize()
+
+    @classmethod
+    def random_init(cls, key, dim, mult=4, rank=32, precision="int4"):
+        k1, k2 = jax.random.split(key)
+        hidden = dim * mult
+        return cls(
+            SVDQW4A4Linear.random_init(k1, dim, hidden, rank=rank, precision=precision),
+            SVDQW4A4Linear.random_init(
+                k2, hidden, dim, rank=rank, precision=precision,
+                act_unsigned=(precision == "int4"),
+            ),
+        )
+
+    def __call__(self, x):
+        h = self.fc1(x)
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=True)
+        # fc2.act_unsigned adds GELU_SHIFT inside its quantize step; the
+        # shifted values are >= 0 (gelu min is about -0.17).
+        out = self.fc2(h.astype(jnp.bfloat16))
+        if self.tp_axis is not None:  # fc2 is row-parallel under TP
+            out = jax.lax.psum(out, self.tp_axis)
+        return out

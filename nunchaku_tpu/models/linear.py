@@ -193,9 +193,12 @@ class SVDQW4A4Linear(Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         lead = x.shape[:-1]
         m = math.prod(lead)
-        x2d = x.reshape(m, self.in_features)
+        # runtime shapes, not self.in/out_features: under shard_map the
+        # arrays are local shards of tensor-parallel weights
+        x2d = x.reshape(m, x.shape[-1])
         out = self.forward_quant(*self.quantize(x2d))
-        return out[:m].reshape(*lead, self.out_features).astype(x.dtype)
+        # always bf16 out: residual streams carry f32, compute rides bf16
+        return out[:m].reshape(*lead, out.shape[-1])
 
 
 class AWQW4A16Linear(Module):
@@ -250,11 +253,11 @@ class AWQW4A16Linear(Module):
         lead = x.shape[:-1]
         m = math.prod(lead)
         out = awq_w4a16_linear(
-            x.reshape(m, self.in_features),
+            x.reshape(m, x.shape[-1]),
             self.qweight,
             self.wscales,
             self.wzeros,
             self.bias,
             group_size=self.group_size,
         )
-        return out.reshape(*lead, self.out_features).astype(x.dtype)
+        return out.reshape(*lead, out.shape[-1]).astype(x.dtype)

@@ -1,0 +1,110 @@
+"""Normalization layers: AdaLN-Zero with 4-bit modulation linears.
+
+Counterparts of nunchaku/models/normalization.py (NunchakuAdaLayerNormZero
+:13, NunchakuAdaLayerNormZeroSingle :101) and the diffusers
+AdaLayerNormContinuous used by the FLUX output head. The modulation linear
+is AWQ W4A16 like the reference (src/FluxModel.h:22,44); the +1 scale shift
+stays explicit here (the reference folds it into quantized weights for v2
+checkpoints — our checkpoint converter un-folds or keeps it per metadata).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.module import Module
+from ..ops.reference import rmsnorm
+from .linear import AWQW4A16Linear, Linear
+
+
+def layer_norm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return (xf - mu) * jax.lax.rsqrt(var + eps)
+
+
+class RMSNorm(Module):
+    def __init__(self, weight: jnp.ndarray | None, eps: float = 1e-6):
+        self.weight = weight
+        self.eps = eps
+
+    def __call__(self, x):
+        return rmsnorm(x, self.weight, self.eps).astype(x.dtype)
+
+
+class AdaLayerNormZero(Module):
+    """LN(x) * (1 + scale) + shift, plus msa/mlp gates from temb.
+
+    Returns (norm_x, gate_msa, shift_mlp, scale_mlp, gate_mlp).
+    """
+
+    def __init__(self, linear, scale_shift: float = 1.0):
+        self.linear = linear  # D -> 6D (AWQ W4A16 or Linear)
+        self.scale_shift = scale_shift
+
+    @classmethod
+    def random_init(cls, key, dim, quantized=True):
+        lin = (
+            AWQW4A16Linear.random_init(key, dim, 6 * dim)
+            if quantized
+            else Linear.random_init(key, dim, 6 * dim)
+        )
+        return cls(lin)
+
+    def __call__(self, x, temb):
+        mod = self.linear(jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype))
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
+            mod.astype(jnp.float32), 6, axis=-1
+        )
+        norm_x = layer_norm(x)
+        out = norm_x * (scale_msa[:, None] + self.scale_shift) + shift_msa[:, None]
+        return (
+            out.astype(x.dtype),
+            gate_msa,
+            shift_mlp,
+            scale_mlp,
+            gate_mlp,
+        )
+
+
+class AdaLayerNormZeroSingle(Module):
+    """Single-stream variant: returns (norm_x, gate_msa)."""
+
+    def __init__(self, linear, scale_shift: float = 1.0):
+        self.linear = linear  # D -> 3D
+        self.scale_shift = scale_shift
+
+    @classmethod
+    def random_init(cls, key, dim, quantized=True):
+        lin = (
+            AWQW4A16Linear.random_init(key, dim, 3 * dim)
+            if quantized
+            else Linear.random_init(key, dim, 3 * dim)
+        )
+        return cls(lin)
+
+    def __call__(self, x, temb):
+        mod = self.linear(jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype))
+        shift_msa, scale_msa, gate_msa = jnp.split(mod.astype(jnp.float32), 3, axis=-1)
+        norm_x = layer_norm(x)
+        out = norm_x * (scale_msa[:, None] + self.scale_shift) + shift_msa[:, None]
+        return out.astype(x.dtype), gate_msa
+
+
+class AdaLayerNormContinuous(Module):
+    """Output head norm: LN(x) * (1 + scale) + shift from temb."""
+
+    def __init__(self, linear: Linear):
+        self.linear = linear  # D -> 2D
+
+    @classmethod
+    def random_init(cls, key, dim):
+        return cls(Linear.random_init(key, dim, 2 * dim))
+
+    def __call__(self, x, temb):
+        mod = self.linear(jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype))
+        scale, shift = jnp.split(mod.astype(jnp.float32), 2, axis=-1)
+        out = layer_norm(x) * (1.0 + scale[:, None]) + shift[:, None]
+        return out.astype(x.dtype)

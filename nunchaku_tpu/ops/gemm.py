@@ -185,9 +185,9 @@ def svdq_gemm_w4a4(
     precision: str = "int4",
     act_unsigned: bool = False,
     out_dtype=jnp.bfloat16,
-    bm: int = 256,
-    bn: int = 512,
-    bk: int = 1024,
+    bm: int | None = None,
+    bn: int | None = None,
+    bk: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Quantized GEMM: ``dequant(qact) @ dequant(qweight) + lora + bias``.
@@ -213,6 +213,20 @@ def svdq_gemm_w4a4(
     k = kp * 2
     n = qweight.shape[1]
     group = GROUP_INT4 if precision == "int4" else GROUP_FP4
+    # shape-adaptive defaults (tuned on v5e: bm512/bn1024/bk512 ~30% over
+    # bm256/bn512/bk1024 at FLUX shapes)
+    def _pick(dim, prefs):
+        for p in prefs:
+            if dim % p == 0:
+                return p
+        return dim
+
+    if bm is None:
+        bm = _pick(m, (512, 256, 128))
+    if bn is None:
+        bn = _pick(n, (1024, 512, 256, 128))
+    if bk is None:
+        bk = _pick(k, (512, 1024, 256) if bn >= 1024 else (1024, 512, 256))
     bm = min(bm, m)
     bn = min(bn, n)
     bk = min(bk, k)

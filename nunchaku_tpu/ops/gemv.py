@@ -78,8 +78,17 @@ def awq_w4a16_linear(
         interpret = jax.default_backend() == "cpu"  # tests run interpreted
     m, k = x.shape
     n = qweight.shape[1]
-    bn = min(bn, n)
-    bk = min(bk, k)
+
+    def _pick(dim, pref):
+        for p in (pref, 1024, 512, 256, 128):
+            if dim % p == 0:
+                return p
+        return dim
+
+    bn = _pick(n, bn)
+    bk = _pick(k, bk)
+    if n % bn or k % bk:
+        raise ValueError(f"awq shape ({k},{n}) not divisible by blocks ({bk},{bn})")
     mp = (-m) % M_TILE
     xp = jnp.pad(x, ((0, mp), (0, 0))) if mp else x
 

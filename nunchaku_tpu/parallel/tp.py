@@ -1,0 +1,184 @@
+"""Tensor parallelism for the quantized transformer over a TPU mesh.
+
+This is new design, not a port: the reference is strictly single-GPU
+(SURVEY.md §2.3). Megatron-style TP over the ICI mesh axis ``tp``:
+
+  * fused QKV / fc1 are column-parallel (output channels = heads sharded),
+  * to_out / to_add_out / fc2 / single-block proj-out are row-parallel
+    (input channels sharded) with one ``psum`` per pairing — the psums live
+    inside the modules (models/attention.py, transformer_flux.py) and fire
+    only when ``tp_axis`` is set,
+  * the rank-r SVD branch shards with its GEMM (proj_down row-sharded on
+    row-parallel layers; partial ``lora_act @ proj_up`` folds into the same
+    psum),
+  * AdaLN modulation (tiny, per-image) and norms are replicated,
+  * the batch axis shards over ``dp``.
+
+Activations inside blocks are replicated over ``tp``; collectives ride ICI.
+Implemented with ``shard_map`` so the Pallas kernels see local shards.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.module import Module
+
+# name-pattern -> (partition dim for column-parallel, for row-parallel)
+# Column-parallel layers shard dim that holds output channels; row-parallel
+# shard input channels. Layout reminders: qweight (K/2, N), wscales (K/G, N),
+# smooth (K,), proj_down (K, R), proj_up (R, N), bias (N,).
+_COL_PARALLEL = (
+    r"\.attn\.to_qkv\.",
+    r"\.attn\.add_qkv_proj\.",
+    r"\.ff(_context)?\.fc1\.",
+    r"\.mlp_fc1\.",
+)
+_ROW_PARALLEL = (
+    r"\.attn\.to_out\.",
+    r"\.attn\.to_add_out\.",
+    r"\.ff(_context)?\.fc2\.",
+    r"\.mlp_fc2\.",
+    r"\.attn_out\.",
+)
+
+
+def _param_spec(name: str, ndim: int, stacked: bool) -> P:
+    """PartitionSpec for one parameter by naming convention."""
+    lead = ("layers",) if False else ()  # layer axis stays unsharded (scan)
+    pad = (None,) if stacked else ()
+
+    def spec(*dims):
+        return P(*pad, *dims)
+
+    leaf = name.rsplit(".", 1)[-1]
+    if any(re.search(p, "." + name) for p in _COL_PARALLEL):
+        if leaf in ("qweight", "wscales", "proj_up"):
+            return spec(None, "tp")
+        if leaf == "bias":
+            return spec("tp")
+        if leaf in ("smooth", "proj_down"):
+            return spec(*([None] * (ndim - len(pad))))
+    if any(re.search(p, "." + name) for p in _ROW_PARALLEL):
+        if leaf in ("qweight", "wscales", "proj_down"):
+            return spec("tp", None)
+        if leaf == "smooth":
+            return spec("tp")
+        # bias, proj_up replicated (bias pre-divided by tp)
+        return spec(*([None] * (ndim - len(pad))))
+    return spec(*([None] * (ndim - len(pad))))
+
+
+def flux_param_specs(model) -> Module:
+    """Tree of PartitionSpecs matching the model pytree."""
+    flat = {name: arr for name, arr in model.named_parameters()}
+
+    def build(name, arr):
+        stacked = name.startswith(("transformer_blocks.", "single_transformer_blocks."))
+        return _param_spec(name, arr.ndim, stacked)
+
+    specs = {n: build(n, a) for n, a in flat.items()}
+    # rebuild as a pytree with same structure
+    leaves, treedef = jax.tree.flatten(model)
+    names = [n for n, _ in model.named_parameters()]
+    assert len(leaves) == len(names)
+    return jax.tree.unflatten(treedef, [specs[n] for n in names])
+
+
+def _set_tp_axis(model, axis: str) -> None:
+    for _, mod in model.modules():
+        if "tp_axis" in getattr(mod, "__dict__", {}):
+            mod.tp_axis = axis
+
+
+def _reorder_qkv_columns(model, tp_size: int) -> None:
+    """Permute fused-QKV output columns from [q|k|v] to per-shard triples.
+
+    A column shard of the fused projection must hold its local heads'
+    q, k AND v (qkv_norm_rope splits the local output in thirds); the
+    natural checkpoint layout concatenates all-q, all-k, all-v instead.
+    """
+    import numpy as np
+
+    for _, mod in model.modules():
+        for attr in ("to_qkv", "add_qkv_proj"):
+            lin = getattr(mod, attr, None)
+            if lin is None or not hasattr(lin, "qweight"):
+                continue
+            n = lin.qweight.shape[-1]
+            inner = n // 3
+            loc = inner // tp_size
+            perm = np.concatenate(
+                [
+                    np.concatenate(
+                        [
+                            np.arange(d * loc, (d + 1) * loc) + s * inner
+                            for s in range(3)
+                        ]
+                    )
+                    for d in range(tp_size)
+                ]
+            )
+            take = lambda a, axis: jnp.take(a, jnp.asarray(perm), axis=axis)
+            lin.qweight = take(lin.qweight, -1)
+            lin.wscales = take(lin.wscales, -1)
+            lin.proj_up = take(lin.proj_up, -1)
+            if lin.bias is not None:
+                lin.bias = take(lin.bias, -1)
+
+
+def _scale_row_parallel_bias(model, tp_size: int) -> None:
+    """Row-parallel biases are added on every device before the psum."""
+
+    def fix(name, arr):
+        leaf = name.rsplit(".", 1)[-1]
+        if leaf == "bias" and any(re.search(p, "." + name) for p in _ROW_PARALLEL):
+            return arr / tp_size
+        return arr
+
+    model.update_leaves(fix)
+
+
+def parallelize(model, mesh: Mesh):
+    """Shard a FluxTransformer2DModel over ``mesh`` (axes 'dp', 'tp').
+
+    Returns (sharded_model, forward_fn). ``forward_fn(model, *args)`` is the
+    jitted SPMD forward; batch shards over dp, heads/channels over tp.
+    """
+    tp = mesh.shape["tp"]
+    _set_tp_axis(model, "tp")
+    if tp > 1:
+        _reorder_qkv_columns(model, tp)
+        _scale_row_parallel_bias(model, tp)
+    specs = flux_param_specs(model)
+    sharded = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), model, specs
+    )
+
+    data_specs = (
+        P("dp", None, None),  # hidden_states
+        P("dp", None, None),  # encoder_hidden_states
+        P("dp", None),  # pooled_projections
+        P("dp"),  # timestep
+        P(None, None),  # img_ids
+        P(None, None),  # txt_ids
+        P("dp"),  # guidance
+    )
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(specs,) + data_specs,
+        out_specs=P("dp", None, None),
+        check_vma=False,  # pallas_call outputs carry no vma info
+    )
+    def forward(m, *args):
+        return m(*args)
+
+    return sharded, forward

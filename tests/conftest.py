@@ -14,6 +14,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax  # noqa: E402
 
+# The sandbox's sitecustomize imports jax (axon TPU plugin) before conftest
+# runs, so the env var alone can be too late — force the platform through
+# the config API as well.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+
 jax.config.update("jax_default_matmul_precision", "highest")
 # The sandbox has a single slow CPU: persist compiled executables across
 # processes so the suite doesn't recompile every tiny op each run.

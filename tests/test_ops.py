@@ -1,0 +1,145 @@
+"""Kernel-vs-oracle unit tests (Pallas interpret mode on CPU).
+
+The reference has no kernel-level pytest coverage (SURVEY.md §4.5 — it uses
+debug taps instead); these tests are the dequant-matmul-oracle checks the
+survey recommends adding.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nunchaku_tpu.core.packing import pack_int4
+from nunchaku_tpu.ops import reference as R
+from nunchaku_tpu.ops.attention import flash_attention, sdpa_reference
+from nunchaku_tpu.ops.gemm import svdq_gemm_w4a4
+from nunchaku_tpu.ops.gemv import awq_w4a16_linear
+from nunchaku_tpu.ops.quantize import quantize_w4a4_act_fuse_lora
+
+rng = np.random.default_rng(0)
+
+
+def _mk(M, K, N, r=32, precision="int4", unsigned=False):
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
+    if unsigned:
+        x = jnp.abs(x)
+    w = jnp.asarray(rng.normal(size=(K, N)) * 0.05, jnp.float32)
+    qw, ws, alpha = R.quantize_weight(w, precision=precision)
+    if precision == "nvfp4":
+        ws = ws * alpha
+    ws = ws.astype(jnp.bfloat16)
+    pd = jnp.asarray(rng.normal(size=(K, r)) * 0.02, jnp.bfloat16)
+    pu = jnp.asarray(rng.normal(size=(r, N)) * 0.02, jnp.bfloat16)
+    b = jnp.asarray(rng.normal(size=(N,)), jnp.bfloat16)
+    return x, qw, ws, pd, pu, b
+
+
+class TestGemmKernel:
+    @pytest.mark.parametrize(
+        "precision,unsigned", [("int4", False), ("nvfp4", False), ("int4", True)]
+    )
+    def test_vs_oracle(self, precision, unsigned):
+        M, K, N = 256, 512, 256
+        x, qw, ws, pd, pu, b = _mk(M, K, N, precision=precision, unsigned=unsigned)
+        qa, asc, la = R.quantize_act_fuse_lora(
+            x, None, pd, precision=precision, unsigned=unsigned
+        )
+        ref = R.w4a4_gemm(
+            qa, asc.astype(jnp.bfloat16), qw, ws, lora_act=la, proj_up=pu,
+            bias=b, precision=precision, exact_int_dot=False,
+        )
+        out = svdq_gemm_w4a4(
+            pack_int4(qa, axis=1), asc.T.astype(jnp.bfloat16), pack_int4(qw, axis=0),
+            ws, la, pu, b, precision=precision, act_unsigned=unsigned,
+        )
+        err = float(
+            jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
+            / (float(jnp.max(jnp.abs(ref))) + 1e-9)
+        )
+        assert err < 3e-2, err
+
+    def test_multi_k_accumulation(self):
+        M, K, N = 256, 1024, 256
+        x, qw, ws, pd, pu, b = _mk(M, K, N)
+        qa, asc, la = R.quantize_act_fuse_lora(x, None, pd)
+        ref = R.w4a4_gemm(
+            qa, asc.astype(jnp.bfloat16), qw, ws, lora_act=la, proj_up=pu,
+            bias=b, exact_int_dot=False,
+        )
+        out = svdq_gemm_w4a4(
+            pack_int4(qa, axis=1), asc.T.astype(jnp.bfloat16), pack_int4(qw, axis=0),
+            ws, la, pu, b, bk=512,
+        )
+        err = float(
+            jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
+            / (float(jnp.max(jnp.abs(ref))) + 1e-9)
+        )
+        assert err < 3e-2, err
+
+
+class TestQuantizeOp:
+    def test_matches_oracle(self):
+        M, K, r = 64, 512, 32
+        x = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
+        smooth = jnp.asarray(rng.uniform(0.5, 2.0, (K,)), jnp.bfloat16)
+        pd = jnp.asarray(rng.normal(size=(K, r)) * 0.02, jnp.bfloat16)
+        qact, asc_t, la = quantize_w4a4_act_fuse_lora(x, pd, smooth)
+        q_ref, s_ref, la_ref = R.quantize_act_fuse_lora(x, smooth, pd)
+        # scales: transposed bf16
+        np.testing.assert_allclose(
+            np.asarray(asc_t, np.float32),
+            np.asarray(s_ref.T.astype(jnp.bfloat16), np.float32),
+            rtol=1e-2,
+        )
+        assert np.asarray(jnp.abs(la - la_ref)).max() < 1e-3
+        # codes: unpack and compare (allow off-by-one from scale rounding)
+        from nunchaku_tpu.core.packing import unpack_int4
+
+        q = np.asarray(unpack_int4(qact, axis=1))
+        diff = np.abs(q.astype(int) - np.asarray(q_ref, int))
+        assert (diff <= 1).all() and (diff > 0).mean() < 0.02
+
+    def test_fuse_glu(self):
+        M, K = 64, 512
+        x = jnp.asarray(rng.normal(size=(M, 2 * K)), jnp.bfloat16)
+        pd = jnp.asarray(rng.normal(size=(K, 32)) * 0.02, jnp.bfloat16)
+        qact, asc_t, la = quantize_w4a4_act_fuse_lora(x, pd, None, fuse_glu=True)
+        gate, up = np.asarray(x, np.float32)[:, :K], np.asarray(x, np.float32)[:, K:]
+        glu = gate / (1 + np.exp(-gate)) * up
+        q_ref, _ = R.quantize_act(jnp.asarray(glu, jnp.bfloat16), None)
+        from nunchaku_tpu.core.packing import unpack_int4
+
+        q = np.asarray(unpack_int4(qact, axis=1))
+        diff = np.abs(q.astype(int) - np.asarray(q_ref, int))
+        assert (diff <= 1).all()
+
+
+class TestGemv:
+    def test_awq_exact_vs_dequant(self):
+        from nunchaku_tpu.core.packing import unpack_int4
+
+        M, K, N = 3, 512, 256
+        x = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
+        q = jnp.asarray(rng.integers(0, 16, (K, N)), jnp.int8)
+        ws = jnp.asarray(rng.random((K // 64, N)) * 0.1, jnp.bfloat16)
+        wz = jnp.asarray(rng.random((K // 64, N)) * 0.4, jnp.bfloat16)
+        out = awq_w4a16_linear(x, pack_int4(q, axis=0), ws, wz, bn=256, bk=512)
+        s_full = np.repeat(np.asarray(ws, np.float32), 64, 0)
+        z_full = np.repeat(np.asarray(wz, np.float32), 64, 0)
+        w_deq = jnp.asarray(np.asarray(q, np.float32) * s_full - z_full, jnp.bfloat16)
+        ref = np.asarray(x, np.float32) @ np.asarray(w_deq, np.float32)
+        err = np.abs(np.asarray(out) - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < 5e-3, err
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("s,skv", [(256, 256), (320, 256)])
+    def test_vs_sdpa(self, s, skv):
+        q = jnp.asarray(rng.normal(size=(1, 2, s, 128)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(1, 2, skv, 128)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(1, 2, skv, 128)), jnp.bfloat16)
+        out = flash_attention(q, k, v, bq=256, bkv=256)
+        ref = sdpa_reference(q, k, v)
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+        assert err < 0.05, err

@@ -1,0 +1,59 @@
+"""Tensor-parallel correctness: sharded forward == single-device forward."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from nunchaku_tpu.models.transformers.transformer_flux import (
+    FluxConfig,
+    FluxTransformer2DModel,
+)
+from nunchaku_tpu.parallel.tp import parallelize
+
+
+def test_tp_matches_single_device():
+    cfg = FluxConfig(
+        num_layers=1,
+        num_single_layers=1,
+        num_attention_heads=8,
+        joint_attention_dim=512,
+        pooled_projection_dim=256,
+    )
+    model = FluxTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+
+    B, S_img, S_txt = 2, 256, 128
+    ii = np.zeros((S_img, 3), np.int32)
+    ii[:, 1] = np.arange(S_img) // 16
+    ii[:, 2] = np.arange(S_img) % 16
+    args = (
+        jax.random.normal(jax.random.PRNGKey(1), (B, S_img, 64), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(2), (B, S_txt, 512), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(3), (B, 256), jnp.bfloat16),
+        jnp.full((B,), 0.5, jnp.float32),
+        jnp.asarray(ii),
+        jnp.zeros((S_txt, 3), jnp.int32),
+        jnp.full((B,), 3.5, jnp.float32),
+    )
+
+    ref = jax.jit(lambda m, *a: m(*a))(model, *args)
+
+    devices = jax.devices()[:8]
+    mesh = Mesh(np.asarray(devices).reshape(2, 4), ("dp", "tp"))
+    sharded, forward = parallelize(model, mesh)
+    out = forward(sharded, *args)
+
+    a = np.asarray(ref, np.float32)
+    b = np.asarray(out, np.float32)
+    # Tolerance note: any change in f32 summation order (row-parallel psum,
+    # different batch tiling) perturbs pre-quantizer activations at ~1e-7,
+    # and the 4-bit quantizer amplifies such flips. With *random* (non-
+    # contractive) weights this compounds per block; the single-device model
+    # itself shows ~2.6% batch-(in)variance on this config. We assert the
+    # sharded run stays within that same noise envelope and is strongly
+    # correlated; bit-level parity across resummations is impossible behind
+    # quantizers (true for the CUDA reference too).
+    err = np.linalg.norm(a - b) / np.linalg.norm(a)
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert err < 0.06, err
+    assert corr > 0.995, corr
