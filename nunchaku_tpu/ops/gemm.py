@@ -1,30 +1,32 @@
-"""Pallas TPU kernel for the SVDQuant W4A4 GEMM.
+"""Pallas TPU kernels for the quantized GEMMs.
 
-TPU-native replacement for the reference's CUDA ``gemm_w4a4`` kernel family
-(src/kernels/zgemm/gemm_w4a4.cuh:832 gemm_w4a4_block; launch/epilogue
-composition gemm_w4a4_launch_impl.cuh:172-385; LoRA fusion lora.cuh).
+TPU-native replacements for the reference's CUDA GEMM family
+(src/kernels/zgemm/gemm_w4a4.cuh:832 gemm_w4a4_block, gemm_w8a8.cuh; launch
+and epilogue composition gemm_w4a4_launch_impl.cuh:172-385; LoRA fusion
+lora.cuh).
 
-Design
-------
-TPUs have no 4-bit MXU datapath, so the win of W4A4 here is **HBM
-bandwidth**: weights stay packed int4 in HBM and are expanded to bf16
-inside VMEM, then hit the MXU as one large bf16 matmul per tile with f32
-accumulation. Numerics match the CUDA integer-MMA path to within bf16
-product rounding (tested against ops.reference oracles).
+Two kernels share one entry point, dispatched on ``precision``:
 
-  * grid = (M/bm, N/bn, K/bk), k innermost; f32 accumulator in VMEM scratch.
-  * int4 unpack: two arithmetic int32 shifts + a 128-lane-preserving
-    reshape (the block-split-half layout in core/packing.py is chosen so
-    no cross-lane interleave is needed).
-  * per-(token, 64-group) activation scales are expanded to full width
-    with a tiny 0/1 expansion matmul on the MXU (Mosaic cannot reshape a
-    64-minor dimension); per-(group, channel) weight scales broadcast along
-    sublanes for free.
-  * the rank-r SVD branch (lora_act @ proj_up) and bias initialise the
-    accumulator at k == 0 — the fused analogue of EpilogueLoraUp + bias.
-  * nvfp4: same flow; e2m1 codes are decoded arithmetically. The
-    per-tensor ``wtscale`` and per-channel ``wcscales`` are folded into
-    the bf16 weight scales at load time, so the kernel never sees them.
+``int4`` / ``nvfp4`` — the SVDQuant parity path. TPUs have no 4-bit MXU
+datapath, so weights stay packed int4 in HBM (the bandwidth win) and are
+expanded to bf16 inside VMEM for a bf16 MXU matmul with f32 accumulation.
+Unpacking is **plane-split**: the low/high nibble planes of the
+block-split-half layout (core/packing.py) are contracted as two separate
+K-slices with matching act/weight order, so no cross-lane interleave
+relayout is ever materialized (worth ~25% over stack+reshape on v5e).
+Per-(token, group) scales expand via tiny 0/1 matmuls on the MXU (Mosaic
+cannot reshape a 64-minor dim).
+
+``int8`` — the TPU-native turbo path (and the reference's W8A8 component,
+zgemm.h:54-63, used by its SDXL pipeline). Per-token activation scales and
+per-channel weight scales are rank-1, so they factor *out* of the matmul
+entirely: the MXU runs a native int8xint8->int32 contraction (~1.8x the
+bf16 dequant path on v5e: 146 vs 82 TF/s at FLUX shapes) and one VPU pass
+applies ``ascale x wscale`` at the end. The rank-r SVD branch absorbs
+weight outliers exactly as in the 4-bit path.
+
+The rank-r SVD branch (lora_act @ proj_up) and bias fuse into the
+accumulator (the EpilogueLoraUp + bias analogue).
 """
 
 from __future__ import annotations
@@ -36,35 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core.packing import PACK_BLOCK
 from .reference import GROUP_FP4, GROUP_INT4
-
-
-def _unpack_lanes(p_i8: jnp.ndarray, unsigned: bool) -> jnp.ndarray:
-    """Unpack (S, P) int8 nibbles (packed along lanes) -> (S, 2P) int32."""
-    s, pdim = p_i8.shape
-    nb = pdim // 128
-    p = p_i8.astype(jnp.int32).reshape(s, nb, 128)
-    if unsigned:
-        lo = p & 0xF
-        hi = (p >> 4) & 0xF
-    else:
-        lo = (p << 28) >> 28
-        hi = (p << 24) >> 28
-    return jnp.stack([lo, hi], axis=2).reshape(s, 2 * pdim)
-
-
-def _unpack_sublanes(p_i8: jnp.ndarray, unsigned: bool) -> jnp.ndarray:
-    """Unpack (P, N) int8 nibbles (packed along sublanes) -> (2P, N) int32."""
-    pdim, n = p_i8.shape
-    nb = pdim // 128
-    p = p_i8.astype(jnp.int32).reshape(nb, 128, n)
-    if unsigned:
-        lo = p & 0xF
-        hi = (p >> 4) & 0xF
-    else:
-        lo = (p << 28) >> 28
-        hi = (p << 24) >> 28
-    return jnp.stack([lo, hi], axis=1).reshape(2 * pdim, n)
 
 
 def _decode_e2m1(q_i32: jnp.ndarray) -> jnp.ndarray:
@@ -77,36 +52,65 @@ def _decode_e2m1(q_i32: jnp.ndarray) -> jnp.ndarray:
     e = a >> 1
     m = (a & 1).astype(jnp.float32)
     mag = jnp.where(
-        e == 0,
-        0.5 * m,
-        (1.0 + 0.5 * m) * jnp.exp2((e - 1).astype(jnp.float32)),
+        e == 0, 0.5 * m, (1.0 + 0.5 * m) * jnp.exp2((e - 1).astype(jnp.float32))
     )
     return jnp.where(q_i32 < 0, -mag, mag)
 
 
-def _values(q_i32: jnp.ndarray, precision: str) -> jnp.ndarray:
-    if precision == "int4":
-        return q_i32.astype(jnp.float32)
-    return _decode_e2m1(q_i32)
+def _plane_values(p_i32, unsigned: bool, precision: str):
+    """Packed tile -> (lo, hi) nibble-plane values as bf16."""
+    if unsigned:
+        lo = p_i32 & 0xF
+        hi = (p_i32 >> 4) & 0xF
+    else:
+        lo = (p_i32 << 28) >> 28
+        hi = (p_i32 << 24) >> 28
+    if precision == "nvfp4":
+        return (
+            _decode_e2m1(lo).astype(jnp.bfloat16),
+            _decode_e2m1(hi).astype(jnp.bfloat16),
+        )
+    return lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)
 
 
-def _group_expand_matrix(n_groups: int, width: int, dtype) -> jnp.ndarray:
-    """(n_groups, width) 0/1 matrix; E[g, j] = (j // group == g)."""
-    g = width // n_groups
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n_groups, width), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n_groups, width), 1)
-    return (cols // g == rows).astype(dtype)
+def _act_plane_scales(as_t, bk: int, group: int):
+    """Expand transposed act scales (bk/G, bm) to per-plane (bm, bk/2).
+
+    Plane lane j of pack-block b holds logical k = 256 b + (j % 128) for the
+    low plane and + 128 for the high plane; group(k) = k // G.
+    """
+    ng = bk // group
+    half = bk // 2
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ng, half), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ng, half), 1)
+    gpb = PACK_BLOCK // group  # groups per pack block
+    g_lo = (cols // 128) * gpb + (cols % 128) // group
+    e_lo = (g_lo == rows).astype(jnp.float32)
+    e_hi = (g_lo + gpb // 2 == rows).astype(jnp.float32)
+    dims = (((0,), (0,)), ((), ()))
+    asv = as_t.astype(jnp.float32)
+    s_lo = jax.lax.dot_general(asv, e_lo, dims, preferred_element_type=jnp.float32)
+    s_hi = jax.lax.dot_general(asv, e_hi, dims, preferred_element_type=jnp.float32)
+    return s_lo.astype(jnp.bfloat16), s_hi.astype(jnp.bfloat16)
 
 
-def _gemm_kernel(
-    *refs,
-    precision: str,
-    act_unsigned: bool,
-    group: int,
-    has_lora: bool,
-    has_bias: bool,
-    out_dtype,
-):
+def _wgt_plane_scales(ws, bk: int, group: int):
+    """Expand weight scales (bk/G, bn) to per-plane (bk/2, bn)."""
+    ng = bk // group
+    half = bk // 2
+    rows = jax.lax.broadcasted_iota(jnp.int32, (half, ng), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (half, ng), 1)
+    gpb = PACK_BLOCK // group
+    g_lo = (rows // 128) * gpb + (rows % 128) // group
+    e_lo = (cols == g_lo).astype(jnp.float32)
+    e_hi = (cols == g_lo + gpb // 2).astype(jnp.float32)
+    wsv = ws.astype(jnp.float32)
+    s_lo = jnp.dot(e_lo, wsv, preferred_element_type=jnp.float32)
+    s_hi = jnp.dot(e_hi, wsv, preferred_element_type=jnp.float32)
+    return s_lo.astype(jnp.bfloat16), s_hi.astype(jnp.bfloat16)
+
+
+def _split_refs(refs, has_lora, has_bias):
     qa_ref, as_ref, qw_ref, ws_ref = refs[:4]
     out_ref, acc_ref = refs[-2], refs[-1]
     mid = refs[4:-2]
@@ -115,7 +119,15 @@ def _gemm_kernel(
         la_ref, pu_ref, mid = mid[0], mid[1], mid[2:]
     if has_bias:
         (b_ref,) = mid
+    return qa_ref, as_ref, qw_ref, ws_ref, la_ref, pu_ref, b_ref, out_ref, acc_ref
 
+
+def _gemm_w4a4_kernel(
+    *refs, precision, act_unsigned, group, has_lora, has_bias, out_dtype
+):
+    qa_ref, as_ref, qw_ref, ws_ref, la_ref, pu_ref, b_ref, out_ref, acc_ref = (
+        _split_refs(refs, has_lora, has_bias)
+    )
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -133,32 +145,52 @@ def _gemm_kernel(
             init = init + b_ref[...].astype(jnp.float32)
         acc_ref[...] = init
 
-    # --- dequantize activations ------------------------------------------
-    a_vals = _values(_unpack_lanes(qa_ref[...], act_unsigned), precision)
-    bm, bk = a_vals.shape
-    # ascales arrive transposed (bk/G, bm); expand to (bm, bk) with a tiny
-    # 0/1 matmul (Mosaic cannot reshape a 64-minor dim for broadcast).
-    e = _group_expand_matrix(bk // group, bk, jnp.float32)
-    a_scale = jax.lax.dot_general(
-        as_ref[...].astype(jnp.float32),
-        e,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    a_deq = (a_vals * a_scale).astype(jnp.bfloat16)
-
-    # --- dequantize weights ----------------------------------------------
-    w_vals = _values(_unpack_sublanes(qw_ref[...], False), precision)
-    bn = w_vals.shape[1]
-    ws = ws_ref[...].astype(jnp.float32)  # (bk // group, bn)
-    w_scale = jnp.broadcast_to(ws[:, None, :], (bk // group, group, bn)).reshape(bk, bn)
-    w_deq = (w_vals * w_scale).astype(jnp.bfloat16)
-
-    acc_ref[...] += jnp.dot(a_deq, w_deq, preferred_element_type=jnp.float32)
+    ap = qa_ref[...].astype(jnp.int32)  # (bm, bk/2)
+    wp = qw_ref[...].astype(jnp.int32)  # (bk/2, bn)
+    bm, half = ap.shape
+    bk = half * 2
+    a_lo, a_hi = _plane_values(ap, act_unsigned, precision)
+    w_lo, w_hi = _plane_values(wp, False, precision)
+    s_lo, s_hi = _act_plane_scales(as_ref[...], bk, group)
+    t_lo, t_hi = _wgt_plane_scales(ws_ref[...], bk, group)
+    acc_ref[...] += jnp.dot(a_lo * s_lo, w_lo * t_lo, preferred_element_type=jnp.float32)
+    acc_ref[...] += jnp.dot(a_hi * s_hi, w_hi * t_hi, preferred_element_type=jnp.float32)
 
     @pl.when(k == nk - 1)
     def _done():
         out_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+def _gemm_w8a8_kernel(*refs, has_lora, has_bias, out_dtype):
+    qa_ref, as_ref, qw_ref, ws_ref, la_ref, pu_ref, b_ref, out_ref, acc_ref = (
+        _split_refs(refs, has_lora, has_bias)
+    )
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    d = jax.lax.dot_general(
+        qa_ref[...], qw_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc_ref[...] += d.astype(jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _done():
+        bm = acc_ref.shape[0]
+        out = acc_ref[...] * as_ref[...].reshape(bm, 1) * ws_ref[...].astype(jnp.float32)
+        if has_lora:
+            out = out + jnp.dot(
+                la_ref[...].astype(jnp.bfloat16),
+                pu_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+        if has_bias:
+            out = out + b_ref[...].astype(jnp.float32)
+        out_ref[...] = out.astype(out_dtype)
 
 
 @functools.partial(
@@ -192,29 +224,30 @@ def svdq_gemm_w4a4(
 ) -> jnp.ndarray:
     """Quantized GEMM: ``dequant(qact) @ dequant(qweight) + lora + bias``.
 
-    Arguments (TPU layouts; see core/packing.py for the int4 packing):
+    int4 / nvfp4 layouts (see core/packing.py for the packing):
       qact     (M, K/2)   int8, block-split-half packed along K
       ascales  (K/G, M)   bf16/f32 per-token-per-group scales (transposed —
-                          token-minor, same convention as the reference's
-                          ascales [K//G, M], nunchaku/ops/gemm.py:57)
+                          token-minor, like the reference's [K//G, M])
       qweight  (K/2, N)   int8, packed along K
       wscales  (K/G, N)   bf16/f32 (nvfp4: alpha & wcscales pre-folded)
-      lora_act (M, R)     f32 — x @ proj_down from the quantize op
-      proj_up  (R, N)     bf16
-      bias     (N,)
-    Returns (M, N) in ``out_dtype``.
 
-    M, N, K must be multiples of the block sizes (the SVDQW4A4Linear layer
-    pads M; weight dims are padded at load).
+    int8 (turbo) layouts:
+      qact (M, K) int8; ascales (1, M) f32 per-token
+      qweight (K, N) int8; wscales (1, N) f32 per-channel
+
+    common: lora_act (M, R) f32; proj_up (R, N) bf16; bias (N,).
+    Returns (M, N) in ``out_dtype``. M, N, K must divide by the blocks
+    (SVDQW4A4Linear pads M; weights are padded at load).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"  # tests run interpreted
-    m, kp = qact.shape
-    k = kp * 2
+    is_int8 = precision == "int8"
+    m = qact.shape[0]
+    k = qact.shape[1] * (1 if is_int8 else 2)
     n = qweight.shape[1]
-    group = GROUP_INT4 if precision == "int4" else GROUP_FP4
-    # shape-adaptive defaults (tuned on v5e: bm512/bn1024/bk512 ~30% over
-    # bm256/bn512/bk1024 at FLUX shapes)
+    group = k if is_int8 else (GROUP_INT4 if precision == "int4" else GROUP_FP4)
+
+    # shape-adaptive defaults (tuned on v5e at FLUX shapes)
     def _pick(dim, prefs):
         for p in prefs:
             if dim % p == 0:
@@ -227,9 +260,7 @@ def svdq_gemm_w4a4(
         bn = _pick(n, (1024, 512, 256, 128))
     if bk is None:
         bk = _pick(k, (512, 1024, 256) if bn >= 1024 else (1024, 512, 256))
-    bm = min(bm, m)
-    bn = min(bn, n)
-    bk = min(bk, k)
+    bm, bn, bk = min(bm, m), min(bn, n), min(bk, k)
     if m % bm or n % bn or k % bk:
         raise ValueError(f"shape ({m},{n},{k}) not divisible by blocks ({bm},{bn},{bk})")
 
@@ -237,41 +268,51 @@ def svdq_gemm_w4a4(
     has_bias = bias is not None
     grid = (m // bm, n // bn, k // bk)
 
-    in_specs = [
-        pl.BlockSpec((bm, bk // 2), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
-        pl.BlockSpec(
-            (bk // group, bm), lambda i, j, kk: (kk, i), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec(
-            (bk // group, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
-        ),
-    ]
-    inputs = [qact, ascales, qweight, wscales]
+    if is_int8:
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda i, j, kk: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ]
+        kernel = functools.partial(
+            _gemm_w8a8_kernel, has_lora=has_lora, has_bias=has_bias, out_dtype=out_dtype
+        )
+        inputs = [qact, ascales.astype(jnp.float32), qweight, wscales.astype(jnp.float32)]
+    else:
+        in_specs = [
+            pl.BlockSpec((bm, bk // 2), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bk // group, bm), lambda i, j, kk: (kk, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bk // group, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+            ),
+        ]
+        kernel = functools.partial(
+            _gemm_w4a4_kernel,
+            precision=precision,
+            act_unsigned=act_unsigned,
+            group=group,
+            has_lora=has_lora,
+            has_bias=has_bias,
+            out_dtype=out_dtype,
+        )
+        inputs = [qact, ascales, qweight, wscales]
+
     if has_lora:
         r = lora_act.shape[1]
-        in_specs.append(
-            pl.BlockSpec((bm, r), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM)
-        )
-        in_specs.append(
-            pl.BlockSpec((r, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM)
-        )
+        in_specs += [
+            pl.BlockSpec((bm, r), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ]
         inputs += [lora_act, proj_up.astype(jnp.bfloat16)]
     if has_bias:
         in_specs.append(
             pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM)
         )
         inputs.append(bias.reshape(1, n))
-
-    kernel = functools.partial(
-        _gemm_kernel,
-        precision=precision,
-        act_unsigned=act_unsigned,
-        group=group,
-        has_lora=has_lora,
-        has_bias=has_bias,
-        out_dtype=out_dtype,
-    )
 
     flops = 2 * m * n * k + (2 * m * n * (lora_act.shape[1] if has_lora else 0))
     return pl.pallas_call(
@@ -286,7 +327,7 @@ def svdq_gemm_w4a4(
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=m * kp + kp * n + m * n * 2,
+            bytes_accessed=qact.nbytes + qweight.nbytes + m * n * 2,
             transcendentals=0,
         ),
         interpret=interpret,

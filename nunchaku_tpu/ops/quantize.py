@@ -67,6 +67,16 @@ def quantize_w4a4_act_fuse_lora(
     if smooth is not None:
         xs = xs / smooth.astype(jnp.float32)[None, :]
 
+    if precision == "int8":
+        # turbo path: per-token int8 (the reference's quantize_w8a8_act,
+        # zgemm.h:54-63, with per-token scales); no packing, scale (1, M)
+        absmax = jnp.max(jnp.abs(xs), axis=-1)
+        scale = absmax / 127.0
+        safe = jnp.where(scale == 0, 1.0, scale)
+        q = jnp.clip(jnp.round(xs / safe[:, None]), -127, 127)
+        q = jnp.where(scale[:, None] == 0, 0.0, q).astype(jnp.int8)
+        return q, scale.reshape(1, m), lora_act
+
     g = GROUP_INT4 if precision == "int4" else GROUP_FP4
     grp = xs.reshape(m, k // g, g)
     absmax = jnp.max(jnp.abs(grp), axis=-1)

@@ -43,6 +43,8 @@ def group_size(precision: str) -> int:
         return GROUP_INT4
     if precision == "nvfp4":
         return GROUP_FP4
+    if precision == "int8":
+        return -1  # whole-axis group (per-token / per-channel)
     raise ValueError(f"unknown precision {precision!r}")
 
 
@@ -65,11 +67,19 @@ def quantize_act(
     """
     g = group_size(precision)
     m, k = x.shape
+    if g == -1:
+        g = k  # int8: one per-token group
     xs = x.astype(jnp.float32)
     if smooth is not None:
         xs = xs / smooth.astype(jnp.float32)[None, :]
     grp = xs.reshape(m, k // g, g)
     absmax = jnp.max(jnp.abs(grp), axis=-1)
+    if precision == "int8":
+        scale = absmax / 127.0
+        safe = jnp.where(scale == 0, 1.0, scale)
+        q = jnp.clip(jnp.round(grp / safe[..., None]), -127, 127)
+        q = jnp.where(scale[..., None] == 0, 0.0, q)
+        return q.reshape(m, k).astype(jnp.int8), scale
     if precision == "int4":
         qmax = 15.0 if unsigned else 7.0
         scale = absmax / qmax
@@ -131,8 +141,16 @@ def quantize_weight(
     """
     k, n = w.shape
     g = group_size(precision)
+    if g == -1:
+        g = k  # int8: per-output-channel
     grp = w.astype(jnp.float32).reshape(k // g, g, n)
     absmax = jnp.max(jnp.abs(grp), axis=1)
+    if precision == "int8":
+        scale = absmax / 127.0
+        safe = jnp.where(scale == 0, 1.0, scale)
+        q = jnp.clip(jnp.round(grp / safe[:, None, :]), -127, 127)
+        q = jnp.where(scale[:, None, :] == 0, 0.0, q)
+        return q.reshape(k, n).astype(jnp.int8), scale, 1.0
     if precision == "int4":
         scale = absmax / 7.0
         safe = jnp.where(scale == 0, 1.0, scale)
@@ -180,7 +198,7 @@ def w4a4_gemm(
     n = q_wgt.shape[1]
     g = k // ascales.shape[1]
     if exact_int_dot:
-        if precision == "int4":
+        if precision in ("int4", "int8"):
             a = q_act.reshape(m, k // g, g).astype(jnp.int32)
             w = q_wgt.reshape(k // g, g, n).astype(jnp.int32)
             d = jnp.einsum("mgk,gkn->gmn", a, w).astype(jnp.float32)  # exact int32
@@ -214,10 +232,10 @@ def w4a4_gemm(
 def dequantize_act(q_act, ascales, *, precision="int4"):
     m, k = q_act.shape
     g = k // ascales.shape[1]
-    if precision == "int4":
-        vals = q_act.reshape(m, k // g, g).astype(jnp.float32)
-    else:
+    if precision == "nvfp4":
         vals = dequantize_e2m1(q_act).reshape(m, k // g, g)
+    else:
+        vals = q_act.reshape(m, k // g, g).astype(jnp.float32)
     deq = vals * ascales.astype(jnp.float32)[:, :, None]
     return deq.reshape(m, k).astype(jnp.bfloat16)
 
@@ -225,10 +243,10 @@ def dequantize_act(q_act, ascales, *, precision="int4"):
 def dequantize_wgt(q_wgt, wscales, *, precision="int4"):
     k, n = q_wgt.shape
     g = k // wscales.shape[0]
-    if precision == "int4":
-        vals = q_wgt.reshape(k // g, g, n).astype(jnp.float32)
-    else:
+    if precision == "nvfp4":
         vals = dequantize_e2m1(q_wgt).reshape(k // g, g, n)
+    else:
+        vals = q_wgt.reshape(k // g, g, n).astype(jnp.float32)
     deq = vals * wscales.astype(jnp.float32)[:, None, :]
     return deq.reshape(k, n).astype(jnp.bfloat16)
 
