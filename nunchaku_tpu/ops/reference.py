@@ -82,7 +82,9 @@ def quantize_act(
         return q.reshape(m, k).astype(jnp.int8), scale
     if precision == "int4":
         qmax = 15.0 if unsigned else 7.0
-        scale = absmax / qmax
+        # scales are stored in half precision (gemm_w4a4.cuh:594-610); round
+        # before dividing so quantize/dequantize agree bit-for-bit
+        scale = (absmax / qmax).astype(jnp.bfloat16).astype(jnp.float32)
         safe = jnp.where(scale == 0, 1.0, scale)
         q = jnp.round(grp / safe[..., None])
         q = jnp.clip(q, 0.0 if unsigned else -qmax, qmax)
