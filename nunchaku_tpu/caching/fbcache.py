@@ -1,0 +1,147 @@
+"""First-block cache (FB cache) and double FB cache, TPU-native.
+
+Strategy (reference nunchaku/caching/fbcache.py:20-29 + caching/utils.py:
+345-516): run only the first transformer block each step; if its residual
+is close (mean relative L1 < threshold) to the previous step's, reuse the
+cached residual of all remaining blocks instead of computing them. Double
+FB cache applies the same test again at the first *single* block with its
+own threshold.
+
+The reference breaks the torch graph at the decision point
+(caching/utils.py:462 torch._dynamo.graph_break); here the whole step stays
+one jitted function — the decision is a ``lax.cond`` and the cache is an
+explicit carry pytree threaded through the denoise loop (pure, donatable,
+works under scan/vmap).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class FBCacheState(NamedTuple):
+    prev_first_residual: jnp.ndarray  # (B, S_img, D) f32
+    cached_dual_residual_img: jnp.ndarray  # (B, S_img, D) f32
+    cached_dual_residual_txt: jnp.ndarray  # (B, S_txt, D) f32
+    prev_single_residual: jnp.ndarray  # (B, S, D) f32
+    cached_single_residual: jnp.ndarray  # (B, S, D) f32
+    valid: jnp.ndarray  # () bool
+    hits: jnp.ndarray  # () int32 — diagnostics
+
+
+def init_fb_state(batch, s_img, s_txt, dim) -> FBCacheState:
+    z_img = jnp.zeros((batch, s_img, dim), jnp.float32)
+    z_txt = jnp.zeros((batch, s_txt, dim), jnp.float32)
+    z_all = jnp.zeros((batch, s_img + s_txt, dim), jnp.float32)
+    return FBCacheState(
+        z_img, z_img, z_txt, z_all, z_all,
+        jnp.zeros((), jnp.bool_), jnp.zeros((), jnp.int32),
+    )
+
+
+def _similar(a, b, threshold):
+    """mean|a-b| / mean|b| < threshold (caching/utils.py check_and_apply_cache)."""
+    diff = jnp.mean(jnp.abs(a - b)) / (jnp.mean(jnp.abs(b)) + 1e-8)
+    return diff < threshold
+
+
+def fb_cached_forward(
+    model,
+    state: FBCacheState,
+    hidden_states,
+    encoder_hidden_states,
+    pooled_projections,
+    timestep,
+    img_ids,
+    txt_ids,
+    guidance=None,
+    *,
+    residual_diff_threshold: float = 0.12,
+    single_residual_diff_threshold: float | None = None,
+):
+    """One cached transformer step. Returns (velocity, new_state).
+
+    ``single_residual_diff_threshold`` enables double FB cache; None keeps
+    the single-level scheme (singles are cached together with the duals).
+    """
+    img0, txt0, temb, rot = model.embed(
+        hidden_states, encoder_hidden_states, pooled_projections,
+        timestep, img_ids, txt_ids, guidance,
+    )
+    s_txt = txt0.shape[1]
+
+    # always run dual block 0
+    img1, txt1 = model.run_dual(img0, txt0, temb, rot, start=0, stop=1)
+    first_res = img1 - img0
+    hit = jnp.logical_and(
+        state.valid, _similar(first_res, state.prev_first_residual, residual_diff_threshold)
+    )
+
+    if single_residual_diff_threshold is None:
+        # single-level: one decision covers dual blocks 1.. and all singles
+        def on_hit(st):
+            img_f = img1 + st.cached_dual_residual_img
+            txt_f = txt1 + st.cached_dual_residual_txt
+            x1 = jnp.concatenate([txt_f, img_f], axis=1)
+            x_f = x1 + st.cached_single_residual
+            return (x_f, st.prev_single_residual, st.cached_single_residual,
+                    st.cached_dual_residual_img, st.cached_dual_residual_txt)
+
+        def on_miss(st):
+            img_f, txt_f = model.run_dual(img1, txt1, temb, rot, start=1)
+            x1 = jnp.concatenate([txt_f, img_f], axis=1)
+            x_f = model.run_singles(x1, temb, rot, s_txt)
+            return (x_f, st.prev_single_residual, x_f - x1,
+                    img_f - img1, txt_f - txt1)
+
+        x_f, prev_sres, cached_sres, dual_res_img, dual_res_txt = jax.lax.cond(
+            hit, on_hit, on_miss, state
+        )
+    else:
+        # double FB: dual-level decision, then an independent single-level
+        # decision at the first single block (its cache is relative to the
+        # post-single-block-0 stream)
+        def d_hit(st):
+            return (img1 + st.cached_dual_residual_img,
+                    txt1 + st.cached_dual_residual_txt,
+                    st.cached_dual_residual_img, st.cached_dual_residual_txt)
+
+        def d_miss(st):
+            img_f, txt_f = model.run_dual(img1, txt1, temb, rot, start=1)
+            return img_f, txt_f, img_f - img1, txt_f - txt1
+
+        img_f, txt_f, dual_res_img, dual_res_txt = jax.lax.cond(
+            hit, d_hit, d_miss, state
+        )
+        x1 = jnp.concatenate([txt_f, img_f], axis=1)
+        x2 = model.run_singles(x1, temb, rot, s_txt, start=0, stop=1)
+        sres = x2 - x1
+        shit = jnp.logical_and(
+            state.valid,
+            _similar(sres, state.prev_single_residual, single_residual_diff_threshold),
+        )
+
+        def s_hit(st):
+            return x2 + st.cached_single_residual, st.cached_single_residual
+
+        def s_miss(st):
+            x_f = model.run_singles(x2, temb, rot, s_txt, start=1)
+            return x_f, x_f - x2
+
+        x_f, cached_sres = jax.lax.cond(shit, s_hit, s_miss, state)
+        prev_sres = sres
+
+    out = model.head(x_f[:, s_txt:], temb)
+    new_state = FBCacheState(
+        prev_first_residual=first_res,
+        cached_dual_residual_img=dual_res_img,
+        cached_dual_residual_txt=dual_res_txt,
+        prev_single_residual=prev_sres,
+        cached_single_residual=cached_sres,
+        valid=jnp.ones((), jnp.bool_),
+        hits=state.hits + hit.astype(jnp.int32),
+    )
+    return out, new_state

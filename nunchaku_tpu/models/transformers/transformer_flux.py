@@ -218,6 +218,64 @@ class FluxTransformer2DModel(Module):
         )
         return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
+    # -- composable stages (the caching subsystem splits the graph here) ----
+    def embed(
+        self, hidden_states, encoder_hidden_states, pooled_projections,
+        timestep, img_ids, txt_ids, guidance=None,
+    ):
+        """Input embeddings: -> (img f32, txt f32, temb bf16, rot)."""
+        img = self.x_embedder(hidden_states).astype(jnp.float32)
+        txt = self.context_embedder(encoder_hidden_states).astype(jnp.float32)
+        temb = self.time_text_embed(timestep, pooled_projections, guidance)
+        temb = temb.astype(jnp.bfloat16)
+        ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+        rot = rope_table(ids, self.cfg.axes_dims_rope)
+        return img, txt, temb, rot
+
+    def run_dual(self, img, txt, temb, rot, start=0, stop=None,
+                 controlnet_block_samples=None):
+        """Scan dual blocks [start, stop) (static bounds)."""
+        stop = self.cfg.num_layers if stop is None else stop
+        blocks = jax.tree.map(lambda a: a[start:stop], self.transformer_blocks)
+        ctrl = _expand_controlnet(controlnet_block_samples, self.cfg.num_layers)
+        if ctrl is not None:
+            ctrl = ctrl[start:stop]
+
+        def body(carry, layer):
+            block, c = layer
+            im, tx = block(*carry, temb, rot)
+            if c is not None:
+                im = im + c.astype(jnp.float32)
+            return (im, tx), None
+
+        (img, txt), _ = jax.lax.scan(body, (img, txt), (blocks, ctrl))
+        return img, txt
+
+    def run_singles(self, x, temb, rot, s_txt, start=0, stop=None,
+                    controlnet_single_block_samples=None):
+        """Scan single blocks over the concatenated [txt; img] stream."""
+        stop = self.cfg.num_single_layers if stop is None else stop
+        blocks = jax.tree.map(lambda a: a[start:stop], self.single_transformer_blocks)
+        ctrl = _expand_controlnet(
+            controlnet_single_block_samples, self.cfg.num_single_layers
+        )
+        if ctrl is not None:
+            ctrl = ctrl[start:stop]
+
+        def body(carry, layer):
+            block, c = layer
+            h = block(carry, temb, rot)
+            if c is not None:
+                h = h.at[:, s_txt:].add(c.astype(jnp.float32))
+            return h, None
+
+        x, _ = jax.lax.scan(body, x, (blocks, ctrl))
+        return x
+
+    def head(self, img, temb):
+        out = self.norm_out(img.astype(jnp.bfloat16), temb)
+        return self.proj_out(out).astype(jnp.bfloat16)
+
     def __call__(
         self,
         hidden_states: jnp.ndarray,  # (B, S_img, in_channels) packed latents
@@ -230,50 +288,20 @@ class FluxTransformer2DModel(Module):
         controlnet_block_samples: jnp.ndarray | None = None,  # (L, B, S_img, D)
         controlnet_single_block_samples: jnp.ndarray | None = None,  # (Ls, B, S, D)
     ) -> jnp.ndarray:
-        cfg = self.cfg
-        img = self.x_embedder(hidden_states).astype(jnp.bfloat16)
-        txt = self.context_embedder(encoder_hidden_states).astype(jnp.bfloat16)
-        temb = self.time_text_embed(timestep, pooled_projections, guidance)
-        temb = temb.astype(jnp.bfloat16)
-
-        ids = jnp.concatenate([txt_ids, img_ids], axis=0)
-        rot = rope_table(ids, cfg.axes_dims_rope)
-
-        img = img.astype(jnp.float32)
-        txt = txt.astype(jnp.float32)
-
-        def dual_body(carry, layer):
-            block, ctrl = layer
-            im, tx = block(*carry, temb, rot)
-            if ctrl is not None:
-                im = im + ctrl.astype(jnp.float32)
-            return (im, tx), None
-
-        n_dual = cfg.num_layers
-        ctrl_dual = _expand_controlnet(controlnet_block_samples, n_dual)
-        (img, txt), _ = jax.lax.scan(
-            dual_body, (img, txt), (self.transformer_blocks, ctrl_dual)
+        img, txt, temb, rot = self.embed(
+            hidden_states, encoder_hidden_states, pooled_projections,
+            timestep, img_ids, txt_ids, guidance,
         )
-
+        img, txt = self.run_dual(
+            img, txt, temb, rot, controlnet_block_samples=controlnet_block_samples
+        )
+        s_txt = txt.shape[1]
         x = jnp.concatenate([txt, img], axis=1)  # text first (FluxModel.cpp:1306)
-
-        def single_body(carry, layer):
-            block, ctrl = layer
-            h = block(carry, temb, rot)
-            if ctrl is not None:
-                s_txt = txt.shape[1]
-                h = h.at[:, s_txt:].add(ctrl.astype(jnp.float32))
-            return h, None
-
-        n_single = cfg.num_single_layers
-        ctrl_single = _expand_controlnet(controlnet_single_block_samples, n_single)
-        x, _ = jax.lax.scan(
-            single_body, x, (self.single_transformer_blocks, ctrl_single)
+        x = self.run_singles(
+            x, temb, rot, s_txt,
+            controlnet_single_block_samples=controlnet_single_block_samples,
         )
-
-        img = x[:, txt.shape[1]:]
-        out = self.norm_out(img.astype(jnp.bfloat16), temb)
-        return self.proj_out(out).astype(jnp.bfloat16)
+        return self.head(x[:, s_txt:], temb)
 
 
 def _expand_controlnet(samples, n_layers: int):

@@ -1,0 +1,226 @@
+"""FLUX text-to-image pipeline (diffusers-compatible surface, JAX-native).
+
+Counterpart of the diffusers FluxPipeline the reference plugs into
+(nunchaku/models/transformers/transformer_flux.py usage) plus the cache
+adapters (nunchaku/caching/diffusers_adapters/flux.py:22-150 —
+``apply_cache_on_pipe``). The denoise loop runs a jitted step function with
+the cache state as an explicit carry; latents follow FLUX's 2x2-packed
+convention.
+
+Text encoders / VAE are pluggable modules; with ``vae=None`` the call
+returns latents, and prompt embeddings can be passed directly (the
+reference's pipelines equally accept prompt_embeds).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..caching.fbcache import FBCacheState, fb_cached_forward, init_fb_state
+from ..caching.teacache import TeaCacheState, init_teacache_state, teacache_forward
+from .scheduler import euler_step, flux_sigmas
+
+
+def pack_latents(lat: jnp.ndarray) -> jnp.ndarray:
+    """(B, C, H, W) -> (B, H/2*W/2, C*4) 2x2 patchified tokens."""
+    b, c, h, w = lat.shape
+    x = lat.reshape(b, c, h // 2, 2, w // 2, 2)
+    x = x.transpose(0, 2, 4, 1, 3, 5)
+    return x.reshape(b, (h // 2) * (w // 2), c * 4)
+
+
+def unpack_latents(tokens: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """(B, S, C*4) -> (B, C, H, W)."""
+    b, s, c4 = tokens.shape
+    c = c4 // 4
+    x = tokens.reshape(b, h // 2, w // 2, c, 2, 2)
+    x = x.transpose(0, 3, 1, 4, 2, 5)
+    return x.reshape(b, c, h, w)
+
+
+def make_img_ids(h_tokens: int, w_tokens: int) -> jnp.ndarray:
+    ids = np.zeros((h_tokens * w_tokens, 3), np.int32)
+    ids[:, 1] = np.repeat(np.arange(h_tokens), w_tokens)
+    ids[:, 2] = np.tile(np.arange(w_tokens), h_tokens)
+    return jnp.asarray(ids)
+
+
+@dataclass
+class FluxPipelineOutput:
+    images: jnp.ndarray | None  # (B, H, W, 3) f32 in [0, 1], None if no VAE
+    latents: jnp.ndarray  # (B, S, 64) packed
+
+
+class FluxPipeline:
+    def __init__(
+        self,
+        transformer,
+        vae=None,
+        text_encoder=None,  # CLIP -> pooled embeds
+        text_encoder_2=None,  # T5 -> sequence embeds
+        tokenizer=None,
+        tokenizer_2=None,
+    ):
+        self.transformer = transformer
+        self.vae = vae
+        self.text_encoder = text_encoder
+        self.text_encoder_2 = text_encoder_2
+        self.tokenizer = tokenizer
+        self.tokenizer_2 = tokenizer_2
+
+    def encode_prompt(self, prompt: str | list[str], max_length: int = 512):
+        if self.text_encoder_2 is None or self.tokenizer_2 is None:
+            raise ValueError(
+                "pipeline was built without text encoders; pass prompt_embeds"
+            )
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        t5_ids = self.tokenizer_2(prompt, max_length)
+        prompt_embeds = self.text_encoder_2(t5_ids)
+        clip_ids = self.tokenizer(prompt, 77)
+        pooled = self.text_encoder(clip_ids)
+        return prompt_embeds, pooled
+
+    def __call__(
+        self,
+        prompt=None,
+        prompt_embeds: jnp.ndarray | None = None,
+        pooled_prompt_embeds: jnp.ndarray | None = None,
+        height: int = 1024,
+        width: int = 1024,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 3.5,
+        seed: int = 0,
+        latents: jnp.ndarray | None = None,
+        cache: str | None = None,  # None | "fb" | "double_fb" | "teacache"
+        residual_diff_threshold: float = 0.12,
+        single_residual_diff_threshold: float = 0.09,
+        teacache_rel_l1_thresh: float = 0.6,
+        controlnet_block_samples=None,
+        controlnet_single_block_samples=None,
+    ) -> FluxPipelineOutput:
+        if prompt_embeds is None:
+            prompt_embeds, pooled_prompt_embeds = self.encode_prompt(prompt)
+        model = self.transformer
+        cfg = model.cfg
+
+        b = prompt_embeds.shape[0]
+        lh, lw = height // 8, width // 8  # latent dims (VAE stride 8)
+        s_img = (lh // 2) * (lw // 2)
+        s_txt = prompt_embeds.shape[1]
+
+        if latents is None:
+            key = jax.random.PRNGKey(seed)
+            lat = jax.random.normal(key, (b, cfg.in_channels // 4, lh, lw), jnp.float32)
+            latents = pack_latents(lat).astype(jnp.bfloat16)
+
+        img_ids = make_img_ids(lh // 2, lw // 2)
+        txt_ids = jnp.zeros((s_txt, 3), jnp.int32)
+        sigmas = flux_sigmas(num_inference_steps, image_seq_len=s_img)
+        guidance = (
+            jnp.full((b,), guidance_scale, jnp.float32)
+            if cfg.guidance_embeds
+            else None
+        )
+
+        step_fn, state = self._make_step(
+            cache,
+            b,
+            s_img,
+            s_txt,
+            num_inference_steps,
+            residual_diff_threshold,
+            single_residual_diff_threshold,
+            teacache_rel_l1_thresh,
+        )
+
+        lat_f = latents.astype(jnp.float32)
+        for i in range(num_inference_steps):
+            lat_f, state = step_fn(
+                model,
+                lat_f,
+                state,
+                prompt_embeds,
+                pooled_prompt_embeds,
+                jnp.full((b,), float(sigmas[i]), jnp.float32),
+                img_ids,
+                txt_ids,
+                guidance,
+                jnp.float32(sigmas[i]),
+                jnp.float32(sigmas[i + 1]),
+                controlnet_block_samples,
+                controlnet_single_block_samples,
+            )
+
+        latents = lat_f.astype(jnp.bfloat16)
+        images = None
+        if self.vae is not None:
+            z = unpack_latents(latents, lh, lw).astype(jnp.bfloat16)
+            images = self.vae.decode(z)
+        return FluxPipelineOutput(images=images, latents=latents)
+
+    def _make_step(
+        self, cache, b, s_img, s_txt, num_steps,
+        thresh, single_thresh, tea_thresh,
+    ):
+        cfg = self.transformer.cfg
+
+        if cache in ("fb", "double_fb"):
+            state = init_fb_state(b, s_img, s_txt, cfg.dim)
+            kw = dict(
+                residual_diff_threshold=thresh,
+                single_residual_diff_threshold=(
+                    single_thresh if cache == "double_fb" else None
+                ),
+            )
+
+            @functools.partial(jax.jit, static_argnums=())
+            def step(model, lat, st, pe, pool, t, iids, tids, g, sig, sig_next, cb, csb):
+                vel, st = fb_cached_forward(
+                    model, st, lat.astype(jnp.bfloat16), pe, pool, t, iids, tids, g, **kw
+                )
+                return euler_step(lat, vel, sig, sig_next), st
+
+            return step, state
+
+        if cache == "teacache":
+            state = init_teacache_state(b, s_img, cfg.dim)
+
+            @jax.jit
+            def step(model, lat, st, pe, pool, t, iids, tids, g, sig, sig_next, cb, csb):
+                vel, st = teacache_forward(
+                    model, st, lat.astype(jnp.bfloat16), pe, pool, t, iids, tids, g,
+                    num_steps=num_steps, rel_l1_thresh=tea_thresh,
+                )
+                return euler_step(lat, vel, sig, sig_next), st
+
+            return step, state
+
+        @jax.jit
+        def step(model, lat, st, pe, pool, t, iids, tids, g, sig, sig_next, cb, csb):
+            vel = model(
+                lat.astype(jnp.bfloat16), pe, pool, t, iids, tids, g,
+                controlnet_block_samples=cb,
+                controlnet_single_block_samples=csb,
+            )
+            return euler_step(lat, vel, sig, sig_next), st
+
+        return step, jnp.zeros(())
+
+
+def apply_cache_on_pipe(pipe: FluxPipeline, **kwargs):
+    """Reference-API-compatible shim (caching/diffusers_adapters/__init__.py:8):
+    caching here is selected per call via ``pipe(..., cache=...)``; this sets
+    the defaults on the pipeline object."""
+    use_double = kwargs.get("use_double_fb_cache", False)
+    pipe.default_cache = "double_fb" if use_double else "fb"
+    pipe.default_thresholds = (
+        kwargs.get("residual_diff_threshold", 0.12),
+        kwargs.get("single_residual_diff_threshold", 0.09),
+    )
+    return pipe
