@@ -107,6 +107,15 @@ class Module:
             v = self.__dict__[k]
             yield from _walk_modules(f"{prefix}{k}", v)
 
+    def refresh_pytree(self) -> None:
+        """Drop the pinned dynamic-key set so the next flatten re-decides.
+
+        Call after an attribute changes 'kind' (e.g. a None field gets an
+        array assigned) — otherwise the pinned keys would put the new array
+        into static aux data.
+        """
+        self.__dict__.pop("_dyn_keys", None)
+
     def update_leaves(self, fn: Callable[[str, jax.Array], jax.Array]) -> None:
         """Apply ``fn(name, leaf) -> leaf`` to every parameter, in place."""
         for name, arr in list(self.named_parameters()):

@@ -234,6 +234,10 @@ class AWQW4A16Linear(Module):
         self.group_size = group_size
         self.in_features = qweight.shape[0] * 2
         self.out_features = qweight.shape[1]
+        # optional low-rank side branch (LoRA on the modulation linears;
+        # reference GEMV_AWQ lora_down/lora_up, src/Linear.cpp:25-57)
+        self.lora_down = None  # (K, r) bf16
+        self.lora_up = None  # (r, N) bf16
 
     @classmethod
     def from_weights(cls, weight: jnp.ndarray, bias=None, *, group_size: int = 64):
@@ -267,12 +271,24 @@ class AWQW4A16Linear(Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         lead = x.shape[:-1]
         m = math.prod(lead)
+        x2d = x.reshape(m, x.shape[-1])
         out = awq_w4a16_linear(
-            x.reshape(m, x.shape[-1]),
+            x2d,
             self.qweight,
             self.wscales,
             self.wzeros,
             self.bias,
             group_size=self.group_size,
         )
+        if self.lora_down is not None:
+            la = jnp.dot(
+                x2d.astype(jnp.bfloat16),
+                self.lora_down.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            out = out + jnp.dot(
+                la.astype(jnp.bfloat16),
+                self.lora_up.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
         return out.reshape(*lead, out.shape[-1]).astype(x.dtype)
