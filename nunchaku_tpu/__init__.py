@@ -6,6 +6,42 @@ rank-32 low-rank SVD branch, on-the-fly activation quantization, GELU/requant
 chaining, fused RMSNorm+RoPE and flash attention — runs as Pallas MXU kernels
 on HBM-resident packed int4 weights; graphs, caching, LoRA and pipelines are
 idiomatic JAX/XLA with pjit/shard_map tensor parallelism over ICI.
+
+Public surface (reference parity: nunchaku/__init__.py:1-17):
+  * FluxTransformer2DModel + load_flux_transformer (NunchakuFluxTransformer2dModel)
+  * T5EncoderModel / load_t5_encoder (NunchakuT5EncoderModel)
+  * AutoencoderKL / load_autoencoder
+  * FluxPipeline, apply_cache_on_pipe (caching/diffusers_adapters)
+  * update_lora_params, set_lora_strength, compose_lora
 """
 
 __version__ = "0.1.0"
+
+from .models.autoencoder import AutoencoderKL, load_autoencoder
+from .models.linear import AWQW4A16Linear, SVDQW4A4Linear
+from .models.text_encoders.clip import CLIPTextModel, load_clip_text
+from .models.text_encoders.t5 import T5EncoderModel, load_t5_encoder
+from .models.transformers.loader import load_flux_transformer
+from .models.transformers.transformer_flux import FluxConfig, FluxTransformer2DModel
+from .pipeline.pipeline_flux import FluxPipeline, apply_cache_on_pipe
+from .lora.flux.apply import set_lora_strength, update_lora_params
+from .lora.flux.convert import compose_lora
+
+__all__ = [
+    "AutoencoderKL",
+    "AWQW4A16Linear",
+    "CLIPTextModel",
+    "FluxConfig",
+    "FluxPipeline",
+    "FluxTransformer2DModel",
+    "SVDQW4A4Linear",
+    "T5EncoderModel",
+    "apply_cache_on_pipe",
+    "compose_lora",
+    "load_autoencoder",
+    "load_clip_text",
+    "load_flux_transformer",
+    "load_t5_encoder",
+    "set_lora_strength",
+    "update_lora_params",
+]

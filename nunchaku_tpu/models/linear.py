@@ -95,6 +95,10 @@ class SVDQW4A4Linear(Module):
         self.in_features = qweight.shape[0] * (1 if precision == "int8" else 2)
         self.out_features = qweight.shape[1]
         self.rank = proj_down.shape[1]
+        # logical (unpadded) dims; kernels require K%256 == 0 and N%128 == 0,
+        # odd-dim models (SANA 2240, ...) zero-pad weights at build time
+        self.logical_in = self.in_features
+        self.logical_out = self.out_features
 
     # -- constructors --------------------------------------------------------
     @classmethod
@@ -137,7 +141,14 @@ class SVDQW4A4Linear(Module):
     ):
         """Quantize a bf16 (K, N) weight: rank-r randomized SVD branch +
         4-bit group-quantized residual. Smooth factor defaults to ones
-        (calibration-free path)."""
+        (calibration-free path). Odd dims are zero-padded (K->256, N->128
+        multiples) and sliced back at call time."""
+        k_log, n_log = weight.shape
+        kp, np_ = (-k_log) % 256, (-n_log) % 128
+        if kp or np_:
+            weight = jnp.pad(weight, ((0, kp), (0, np_)))
+            if bias is not None:
+                bias = jnp.pad(bias, (0, np_))
         k_dim, n = weight.shape
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -159,7 +170,7 @@ class SVDQW4A4Linear(Module):
         if precision == "nvfp4":
             ws = ws * alpha
         if precision == "int8":
-            return cls(
+            out = cls(
                 qw,
                 ws.astype(jnp.float32),
                 jnp.ones((k_dim,), jnp.bfloat16),
@@ -169,16 +180,20 @@ class SVDQW4A4Linear(Module):
                 precision=precision,
                 act_unsigned=False,
             )
-        return cls(
-            pack_int4(qw, axis=0),
-            ws.astype(jnp.bfloat16),
-            jnp.ones((k_dim,), jnp.bfloat16),
-            pd.astype(jnp.bfloat16),
-            pu.astype(jnp.bfloat16),
-            None if bias is None else bias.astype(jnp.bfloat16),
-            precision=precision,
-            act_unsigned=act_unsigned,
-        )
+        else:
+            out = cls(
+                pack_int4(qw, axis=0),
+                ws.astype(jnp.bfloat16),
+                jnp.ones((k_dim,), jnp.bfloat16),
+                pd.astype(jnp.bfloat16),
+                pu.astype(jnp.bfloat16),
+                None if bias is None else bias.astype(jnp.bfloat16),
+                precision=precision,
+                act_unsigned=act_unsigned,
+            )
+        out.logical_in = k_log
+        out.logical_out = n_log
+        return out
 
     # -- forward -------------------------------------------------------------
     def quantize(self, x2d: jnp.ndarray):
@@ -211,7 +226,12 @@ class SVDQW4A4Linear(Module):
         # runtime shapes, not self.in/out_features: under shard_map the
         # arrays are local shards of tensor-parallel weights
         x2d = x.reshape(m, x.shape[-1])
+        kp = self.qweight.shape[0] * (1 if self.precision == "int8" else 2)
+        if x2d.shape[-1] < kp:  # odd-dim model: zero-pad input columns
+            x2d = jnp.pad(x2d, ((0, 0), (0, kp - x2d.shape[-1])))
         out = self.forward_quant(*self.quantize(x2d))
+        if self.logical_out < out.shape[-1]:
+            out = out[:, : self.logical_out]
         # always bf16 out: residual streams carry f32, compute rides bf16
         return out[:m].reshape(*lead, out.shape[-1])
 

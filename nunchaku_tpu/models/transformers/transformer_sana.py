@@ -1,0 +1,290 @@
+"""SANA transformer (linear-attention DiT), TPU-native.
+
+Rebuild of the reference's C++ SANA graph (src/SanaModel.{h,cpp}:
+SanaLinearAttention :25-106 with the EpilogueLiteLA relu-kernel linear
+attention, MultiHeadCrossAttention :147-189, SanaGLUMBConv :201-213,
+SanaLinearTransformerBlock :215-300 with the per-block scale_shift_table)
+and its Python integration (nunchaku/models/transformers/transformer_sana.py).
+
+TPU mapping:
+  * LiteLA (relu linear attention, 32-dim heads): ``vk = relu(k)^T [v; 1]``
+    then ``out = relu(q) vk / (relu(q) k_sum + eps)`` — O(S d^2) einsums that
+    ride the MXU directly; no custom epilogue needed because the contraction
+    is tiny (d=32) and XLA fuses the relu into the producer GEMM's consumer.
+  * GLUMBConv: W4A4 inverted projection + SiLU, 3x3 depthwise conv
+    (lax.conv with feature_group_count), GLU fused into the following
+    W4A4 quantize (ops/quantize.py fuse_glu).
+  * cross attention: W4A4 q / bf16 kv projections + the shared flash
+    attention kernel (text length padded+masked instead of varlen).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ...core.module import Module
+from ...ops.attention import flash_attention
+from ..embeddings import timestep_embedding, MLPEmbedder
+from ..linear import Linear, SVDQW4A4Linear
+from ..normalization import layer_norm
+from .transformer_flux import stack_modules
+
+LA_HEAD_DIM = 32  # SanaModel.cpp:26
+
+
+@dataclass(frozen=True)
+class SanaConfig:
+    num_layers: int = 20
+    num_attention_heads: int = 70  # dim 2240 = 70 * 32
+    attention_head_dim: int = 32
+    num_cross_attention_heads: int = 20
+    cross_attention_head_dim: int = 112
+    caption_channels: int = 2304
+    in_channels: int = 32
+    out_channels: int = 32
+    expand_ratio: float = 2.5
+    rank: int = 32
+    precision: str = "int4"
+
+    @property
+    def dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+    @property
+    def ff_hidden(self) -> int:
+        return int(self.dim * self.expand_ratio)
+
+
+def lite_la(qkv: jnp.ndarray, dim: int, eps: float = 1e-15) -> jnp.ndarray:
+    """ReLU linear attention over fused qkv (B, S, 3*dim), 32-dim heads."""
+    b, s, _ = qkv.shape
+    q, k, v = jnp.split(qkv[..., : 3 * dim], 3, axis=-1)
+    h = dim // LA_HEAD_DIM
+
+    def heads(t):
+        return t.reshape(b, s, h, LA_HEAD_DIM).transpose(0, 2, 1, 3)
+
+    q = jax.nn.relu(heads(q).astype(jnp.float32))
+    k = jax.nn.relu(heads(k).astype(jnp.float32))
+    v = heads(v).astype(jnp.float32)
+    vk = jnp.einsum("bhsd,bhse->bhde", k, v)  # (B, H, d, d)
+    ksum = jnp.sum(k, axis=2)  # (B, H, d)
+    num = jnp.einsum("bhsd,bhde->bhse", q, vk)
+    den = jnp.einsum("bhsd,bhd->bhs", q, ksum)[..., None] + eps
+    out = (num / den).transpose(0, 2, 1, 3).reshape(b, s, dim)
+    return out.astype(jnp.bfloat16)
+
+
+class SanaLinearAttention(Module):
+    def __init__(self, qkv_proj: SVDQW4A4Linear, out_proj: SVDQW4A4Linear, pag_to_v=None):
+        self.qkv_proj = qkv_proj
+        self.out_proj = out_proj
+        self.pag_to_v = pag_to_v  # perturbed-attention-guidance value proj
+
+    @classmethod
+    def random_init(cls, key, dim, rank=32, precision="int4", pag=False):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return cls(
+            SVDQW4A4Linear.random_init(k1, dim, 3 * dim, rank=rank, precision=precision, bias=False),
+            SVDQW4A4Linear.random_init(k2, dim, dim, rank=rank, precision=precision, bias=False),
+            SVDQW4A4Linear.random_init(k3, dim, dim, rank=rank, precision=precision, bias=False)
+            if pag else None,
+        )
+
+    def __call__(self, x, *, pag: bool = False):
+        dim = x.shape[-1]
+        if pag and self.pag_to_v is not None:
+            # perturbed path: identity attention (value projection only,
+            # SanaModel.cpp:108-145 forward_pag)
+            return self.out_proj(self.pag_to_v(x))
+        return self.out_proj(lite_la(self.qkv_proj(x), dim))
+
+
+class SanaCrossAttention(Module):
+    def __init__(self, q_linear: SVDQW4A4Linear, kv_linear: Linear, out_proj: SVDQW4A4Linear,
+                 *, heads, head_dim):
+        self.q_linear = q_linear
+        self.kv_linear = kv_linear  # bf16 like the reference's GEMM_F16 kv_linear
+        self.out_proj = out_proj
+        self.heads = heads
+        self.head_dim = head_dim
+
+    @classmethod
+    def random_init(cls, key, dim, heads, rank=32, precision="int4"):
+        ks = jax.random.split(key, 3)
+        return cls(
+            SVDQW4A4Linear.random_init(ks[0], dim, dim, rank=rank, precision=precision),
+            Linear.random_init(ks[1], dim, 2 * dim),
+            SVDQW4A4Linear.random_init(ks[2], dim, dim, rank=rank, precision=precision),
+            heads=heads, head_dim=dim // heads,
+        )
+
+    def __call__(self, x, cond, cond_mask=None):
+        b, s, dim = x.shape
+        s_txt = cond.shape[1]
+        h, d = self.heads, self.head_dim
+        q = self.q_linear(x).reshape(b, s, h, d).transpose(0, 2, 1, 3)
+        kv = self.kv_linear(cond.astype(jnp.bfloat16))
+        k, v = jnp.split(kv.astype(jnp.bfloat16), 2, axis=-1)
+        k = k.reshape(b, s_txt, h, d).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s_txt, h, d).transpose(0, 2, 1, 3)
+        if cond_mask is None:
+            o = flash_attention(q, k, v)
+        else:
+            # variable text lengths (the reference's varlen mha_fwd,
+            # SanaModel.cpp:147-189): text is short, so a masked dense
+            # attention in XLA is cheap and exact
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+            ) * (d**-0.5)
+            scores = jnp.where(cond_mask[:, None, None, :], scores, -1e30)
+            p = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+            o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        return self.out_proj(o)
+
+
+class SanaGLUMBConv(Module):
+    def __init__(self, inverted: SVDQW4A4Linear, depth_w, depth_b, point: SVDQW4A4Linear):
+        self.inverted = inverted  # in -> 2*hidden
+        self.depth_w = depth_w  # (2h, 1, 3, 3) depthwise
+        self.depth_b = depth_b
+        self.point = point  # hidden -> in (GLU fused into its quantize)
+
+    @classmethod
+    def random_init(cls, key, dim, hidden, rank=32, precision="int4"):
+        ks = jax.random.split(key, 3)
+        import math
+
+        return cls(
+            SVDQW4A4Linear.random_init(ks[0], dim, 2 * hidden, rank=rank, precision=precision),
+            jax.random.normal(ks[1], (2 * hidden, 1, 3, 3), jnp.bfloat16) / math.sqrt(9),
+            jnp.zeros((2 * hidden,), jnp.bfloat16),
+            SVDQW4A4Linear.random_init(ks[2], hidden, dim, rank=rank, precision=precision, bias=False),
+        )
+
+    def __call__(self, x, hw):
+        h_img, w_img = hw
+        b, s, _ = x.shape
+        y = self.inverted(x)
+        y = jax.nn.silu(y.astype(jnp.float32)).astype(jnp.bfloat16)
+        c2 = y.shape[-1]
+        img = y.reshape(b, h_img, w_img, c2).transpose(0, 3, 1, 2)
+        img = jax.lax.conv_general_dilated(
+            img, self.depth_w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=c2,
+            preferred_element_type=jnp.float32,
+        ) + self.depth_b.astype(jnp.float32)[None, :, None, None]
+        y = img.transpose(0, 2, 3, 1).reshape(b, s, c2).astype(jnp.bfloat16)
+        # GLU fused into point_conv's activation quantization
+        m = b * s
+        y2 = y.reshape(m, c2)
+        from ..linear import pad_rows
+        from ...ops.quantize import quantize_w4a4_act_fuse_lora
+
+        qact, asc, la = quantize_w4a4_act_fuse_lora(
+            pad_rows(y2), self.point.proj_down, self.point.smooth,
+            precision=self.point.precision, fuse_glu=True,
+        )
+        out = self.point.forward_quant(qact, asc, la)[:m]
+        return out.reshape(b, s, -1)
+
+
+class SanaTransformerBlock(Module):
+    def __init__(self, scale_shift_table, attn, cross_attn, ff):
+        self.scale_shift_table = scale_shift_table  # (6, dim)
+        self.attn = attn
+        self.cross_attn = cross_attn
+        self.ff = ff
+
+    @classmethod
+    def random_init(cls, key, cfg: SanaConfig, pag=False):
+        ks = jax.random.split(key, 4)
+        dim = cfg.dim
+        return cls(
+            jax.random.normal(ks[0], (6, dim), jnp.float32) * 0.02,
+            SanaLinearAttention.random_init(ks[1], dim, cfg.rank, cfg.precision, pag),
+            SanaCrossAttention.random_init(ks[2], dim, cfg.num_cross_attention_heads,
+                                           cfg.rank, cfg.precision),
+            SanaGLUMBConv.random_init(ks[3], dim, cfg.ff_hidden, cfg.rank, cfg.precision),
+        )
+
+    def __call__(self, x, cond, temb6, hw, cond_mask=None, pag=False):
+        # temb6: (B, 6, dim) from the shared AdaLN-single projection
+        mods = temb6 + self.scale_shift_table[None].astype(jnp.float32)
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
+            mods[:, i][:, None] for i in range(6)
+        ]
+        norm_x = layer_norm(x) * (1 + scale_msa) + shift_msa
+        attn_out = self.attn(norm_x.astype(jnp.bfloat16), pag=pag)
+        x = x + gate_msa * attn_out.astype(jnp.float32)
+
+        x = x + self.cross_attn(x.astype(jnp.bfloat16), cond, cond_mask).astype(jnp.float32)
+
+        norm_x = layer_norm(x) * (1 + scale_mlp) + shift_mlp
+        ff_out = self.ff(norm_x.astype(jnp.bfloat16), hw)
+        return x + gate_mlp * ff_out.astype(jnp.float32)
+
+
+class SanaTransformer2DModel(Module):
+    """Full SANA DiT (diffusers-compatible forward contract)."""
+
+    def __init__(self, cfg, patch_embed, caption_proj, time_embed, time_proj_linear,
+                 blocks, scale_shift_table_out, proj_out):
+        self.cfg = cfg
+        self.patch_embed = patch_embed  # Linear in_channels -> dim (patch 1)
+        self.caption_proj = caption_proj  # Linear caption_channels -> dim
+        self.time_embed = time_embed  # MLPEmbedder 256 -> dim
+        self.time_proj_linear = time_proj_linear  # Linear dim -> 6*dim (silu)
+        self.blocks = blocks  # stacked SanaTransformerBlock
+        self.scale_shift_table_out = scale_shift_table_out  # (2, dim)
+        self.proj_out = proj_out  # Linear dim -> out_channels
+
+    @classmethod
+    def random_init(cls, key, cfg: SanaConfig):
+        ks = jax.random.split(key, 7)
+        dim = cfg.dim
+        blocks = stack_modules(
+            [SanaTransformerBlock.random_init(k, cfg)
+             for k in jax.random.split(ks[0], cfg.num_layers)]
+        )
+        return cls(
+            cfg,
+            Linear.random_init(ks[1], cfg.in_channels, dim),
+            Linear.random_init(ks[2], cfg.caption_channels, dim),
+            MLPEmbedder.random_init(ks[3], 256, dim),
+            Linear.random_init(ks[4], dim, 6 * dim),
+            blocks,
+            jax.random.normal(ks[5], (2, dim), jnp.float32) * 0.02,
+            Linear.random_init(ks[6], dim, cfg.out_channels),
+        )
+
+    def __call__(self, hidden_states, encoder_hidden_states, timestep,
+                 cond_mask=None, pag: bool = False):
+        """hidden_states (B, S_img, in_ch) tokens (patch 1 latents),
+        encoder_hidden_states (B, S_txt, caption_channels), timestep (B,)."""
+        b, s, _ = hidden_states.shape
+        side = int(round(s**0.5))
+        x = self.patch_embed(hidden_states).astype(jnp.float32)
+        cond = self.caption_proj(encoder_hidden_states).astype(jnp.bfloat16)
+
+        temb = self.time_embed(timestep_embedding(timestep * 1000.0, 256))
+        temb6 = self.time_proj_linear(
+            jax.nn.silu(temb.astype(jnp.float32)).astype(jnp.bfloat16)
+        ).astype(jnp.float32).reshape(b, 6, -1)
+
+        def body(carry, block):
+            return block(carry, cond, temb6, (side, side), cond_mask, pag), None
+
+        x, _ = jax.lax.scan(body, x, self.blocks)
+
+        mods = self.scale_shift_table_out[None].astype(jnp.float32) + temb[
+            :, None
+        ].astype(jnp.float32)
+        shift, scale = mods[:, 0], mods[:, 1]
+        out = layer_norm(x) * (1 + scale[:, None]) + shift[:, None]
+        return self.proj_out(out.astype(jnp.bfloat16)).astype(jnp.bfloat16)

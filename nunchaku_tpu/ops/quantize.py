@@ -48,9 +48,13 @@ def quantize_w4a4_act_fuse_lora(
     (used by SANA's GLUMBConv path).
     """
     if fuse_glu:
+        # diffusers GLUMBConv convention: value = x1 * silu(x2) over split
+        # halves (the reference kernel uses interleaved pairs,
+        # gemm_base.cuh:622 — its converter pre-interleaves the weights;
+        # ours keeps half-split and reorders at load instead)
         k2 = x.shape[-1] // 2
-        gate, up = x[..., :k2], x[..., k2:]
-        x = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(
+        hidden, gate = x[..., :k2], x[..., k2:]
+        x = (hidden.astype(jnp.float32) * jax.nn.silu(gate.astype(jnp.float32))).astype(
             x.dtype
         )
 

@@ -105,8 +105,8 @@ class TestQuantizeOp:
         x = jnp.asarray(rng.normal(size=(M, 2 * K)), jnp.bfloat16)
         pd = jnp.asarray(rng.normal(size=(K, 32)) * 0.02, jnp.bfloat16)
         qact, asc_t, la = quantize_w4a4_act_fuse_lora(x, pd, None, fuse_glu=True)
-        gate, up = np.asarray(x, np.float32)[:, :K], np.asarray(x, np.float32)[:, K:]
-        glu = gate / (1 + np.exp(-gate)) * up
+        hidden, gate = np.asarray(x, np.float32)[:, :K], np.asarray(x, np.float32)[:, K:]
+        glu = hidden * (gate / (1 + np.exp(-gate)))
         q_ref, _ = R.quantize_act(jnp.asarray(glu, jnp.bfloat16), None)
         from nunchaku_tpu.core.packing import unpack_int4
 
