@@ -62,8 +62,15 @@ def _extend_awq(lin, a: np.ndarray, b_mat: np.ndarray):
 
 
 def update_lora_params(model, lora_state_dict: dict, strength: float = 1.0):
-    """Return a new FluxTransformer2DModel with the LoRA folded in."""
-    lora = to_canonical(lora_state_dict, strength)
+    """Return a new FluxTransformer2DModel with the LoRA folded in.
+
+    Accepts a raw LoRA state dict (any supported flavor) or an
+    already-canonical ``{path: (A, B)}`` dict from ``compose_lora``.
+    """
+    is_canonical = lora_state_dict and all(
+        isinstance(v, tuple) and len(v) == 2 for v in lora_state_dict.values()
+    )
+    lora = lora_state_dict if is_canonical else to_canonical(lora_state_dict, strength)
 
     # split by stack
     def apply_stack(stacked, stack_name, n_layers, leaf_applier):

@@ -1,0 +1,95 @@
+"""Per-layer weight streaming: host RAM <-> HBM double buffering.
+
+Counterpart of the reference's offload machinery — C++ LayerOffloadHelper
+(src/Module.h:214-323: compute stream + load stream ping-pong prefetch) and
+the Python CPUOffloadManager (nunchaku/models/utils.py:52-263). On TPU the
+same effect falls out of JAX's async dispatch: block i executes on device
+while ``jax.device_put`` of block i+1's weights is still in flight, so a
+plain lookahead loop gives compute/transfer overlap without explicit
+streams or events. HBM holds only ``lookahead + 1`` blocks of weights
+(~2/57 of the model) plus activations — the "run a 12-20B model in a few
+GB" capability (reference README.md:24,39).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ..models.transformers.transformer_flux import slice_module
+
+
+def _host_device():
+    return jax.local_devices(backend="cpu")[0]
+
+
+class BlockStreamer:
+    """Streams stacked-block parameters from host memory block by block."""
+
+    def __init__(self, stacked_module, n_layers: int, device=None, lookahead: int = 1):
+        host = _host_device()
+        self.n = n_layers
+        self.lookahead = max(1, lookahead)
+        self.device = device or jax.devices()[0]
+        # one host-resident pytree per layer (contiguous per-layer transfer)
+        self.host_blocks = [
+            jax.device_put(slice_module(stacked_module, i), host)
+            for i in range(n_layers)
+        ]
+
+    def run(self, fn, carry, *args):
+        """carry = fn(block, carry, *args) over all layers, prefetching."""
+        inflight = {
+            i: jax.device_put(self.host_blocks[i], self.device)
+            for i in range(min(self.lookahead, self.n))
+        }
+        for i in range(self.n):
+            block = inflight.pop(i)
+            nxt = i + self.lookahead
+            if nxt < self.n:  # async: overlaps with this block's compute
+                inflight[nxt] = jax.device_put(self.host_blocks[nxt], self.device)
+            carry = fn(block, carry, *args)
+        return carry
+
+
+class OffloadedFluxForward:
+    """Offloaded forward for FluxTransformer2DModel.
+
+    The embedding/head params stay on device (tiny); both block stacks
+    stream from host. Usage::
+
+        off = OffloadedFluxForward(model)   # moves block weights to host
+        velocity = off(lat, txt, pooled, t, img_ids, txt_ids, guidance)
+    """
+
+    def __init__(self, model, lookahead: int = 1):
+        self.model = model
+        cfg = model.cfg
+        self.dual = BlockStreamer(model.transformer_blocks, cfg.num_layers,
+                                  lookahead=lookahead)
+        self.single = BlockStreamer(model.single_transformer_blocks,
+                                    cfg.num_single_layers, lookahead=lookahead)
+        # free the device copies of the big stacks
+        self.model = jax.tree_util.tree_map(lambda x: x, model)
+        self.model.transformer_blocks = None
+        self.model.single_transformer_blocks = None
+        self.model.refresh_pytree()
+
+        self._dual_fn = jax.jit(lambda blk, c, temb, rot: blk(c[0], c[1], temb, rot))
+        self._single_fn = jax.jit(lambda blk, c, temb, rot: blk(c, temb, rot))
+        self._embed = jax.jit(lambda m, *a: m.embed(*a))
+        self._head = jax.jit(lambda m, img, temb: m.head(img, temb))
+
+    def __call__(self, hidden_states, encoder_hidden_states, pooled_projections,
+                 timestep, img_ids, txt_ids, guidance=None):
+        import jax.numpy as jnp
+
+        m = self.model
+        img, txt, temb, rot = self._embed(
+            m, hidden_states, encoder_hidden_states, pooled_projections,
+            timestep, img_ids, txt_ids, guidance,
+        )
+        img, txt = self.dual.run(self._dual_fn, (img, txt), temb, rot)
+        s_txt = txt.shape[1]
+        x = jnp.concatenate([txt, img], axis=1)
+        x = self.single.run(self._single_fn, x, temb, rot)
+        return self._head(m, x[:, s_txt:], temb)
