@@ -197,8 +197,9 @@ class SVDQW4A4Linear(Module):
 
     # -- forward -------------------------------------------------------------
     def quantize(self, x2d: jnp.ndarray):
-        """(M, K) -> (qact, ascales_t, lora_act), M padded to 256."""
-        x2d = pad_rows(x2d)
+        """(M, K) -> (qact, ascales_t, lora_act), M padded to 256 (tiny
+        modulation-style batches pad to 8 so the GEMM stays bandwidth-bound)."""
+        x2d = pad_rows(x2d, 8 if x2d.shape[0] <= 8 else PAD_TOKENS)
         return quantize_w4a4_act_fuse_lora(
             x2d,
             self.proj_down,

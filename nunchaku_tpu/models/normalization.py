@@ -13,9 +13,26 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import jax.numpy as _jnp
+
 from ..core.module import Module
 from ..ops.reference import rmsnorm
-from .linear import AWQW4A16Linear, Linear
+from .linear import AWQW4A16Linear, Linear, SVDQW4A4Linear
+
+
+def _mod_linear(key, dim, out_dim, precision: str):
+    """Modulation linear factory: AWQ W4A16 for the 4-bit parity path
+    (reference src/FluxModel.h:22,44); in int8 turbo mode an int8-MXU
+    SVDQ linear with a zero low-rank branch — the AWQ gemv is VPU-bound
+    at tiny M while the int8 dot is pure bandwidth (~50x faster here)."""
+    if precision == "int8":
+        lin = SVDQW4A4Linear.random_init(
+            key, dim, out_dim, rank=16, precision="int8"
+        )
+        lin.proj_down = _jnp.zeros_like(lin.proj_down)
+        lin.proj_up = _jnp.zeros_like(lin.proj_up)
+        return lin
+    return AWQW4A16Linear.random_init(key, dim, out_dim)
 
 
 def layer_norm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
@@ -45,9 +62,9 @@ class AdaLayerNormZero(Module):
         self.scale_shift = scale_shift
 
     @classmethod
-    def random_init(cls, key, dim, quantized=True):
+    def random_init(cls, key, dim, quantized=True, precision="int4"):
         lin = (
-            AWQW4A16Linear.random_init(key, dim, 6 * dim)
+            _mod_linear(key, dim, 6 * dim, precision)
             if quantized
             else Linear.random_init(key, dim, 6 * dim)
         )
@@ -77,9 +94,9 @@ class AdaLayerNormZeroSingle(Module):
         self.scale_shift = scale_shift
 
     @classmethod
-    def random_init(cls, key, dim, quantized=True):
+    def random_init(cls, key, dim, quantized=True, precision="int4"):
         lin = (
-            AWQW4A16Linear.random_init(key, dim, 3 * dim)
+            _mod_linear(key, dim, 3 * dim, precision)
             if quantized
             else Linear.random_init(key, dim, 3 * dim)
         )

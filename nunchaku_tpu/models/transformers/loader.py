@@ -133,8 +133,14 @@ def _mod_perm(d: int, parts: int) -> np.ndarray:
     return perm
 
 
-def _decode_awq(r: _Reader, parts: int | None = None) -> AWQW4A16Linear:
-    """Decode a GEMV_AWQ module (AdaLN modulation linear)."""
+def _decode_awq(r: _Reader, parts: int | None = None, out_precision: str = "int4"):
+    """Decode a GEMV_AWQ module (AdaLN modulation linear).
+
+    In int8 turbo mode the dequantized weight is requantized to a
+    per-channel int8 SVDQ linear (zero low-rank branch): the AWQ gemv is
+    VPU-bound at modulation batch sizes while the int8 MXU path is pure
+    HBM bandwidth.
+    """
     qw = _np(r("qweight"))
     oc4, icp = qw.shape
     oc = oc4 * 4
@@ -151,6 +157,26 @@ def _decode_awq(r: _Reader, parts: int | None = None) -> AWQW4A16Linear:
         wz = wz[:, perm]
         if bias is not None:
             bias = bias[perm]
+
+    if out_precision == "int8":
+        g = ic // ws.shape[0]
+        s_full = np.repeat(ws, g, axis=0)  # (K, N)
+        z_full = np.repeat(wz, g, axis=0)
+        w_deq = codes.T.astype(np.float32) * s_full - z_full  # (K, N)
+        absmax = np.abs(w_deq).max(axis=0)
+        scale = np.where(absmax == 0, 1.0, absmax / 127.0)
+        q8 = np.clip(np.round(w_deq / scale[None, :]), -127, 127).astype(np.int8)
+        lin = SVDQW4A4Linear(
+            jnp.asarray(q8),
+            jnp.asarray(scale.reshape(1, oc), jnp.float32),
+            jnp.ones((ic,), jnp.bfloat16),
+            jnp.zeros((ic, 16), jnp.bfloat16),
+            jnp.zeros((16, oc), jnp.bfloat16),
+            None if bias is None else jnp.asarray(bias, jnp.bfloat16),
+            precision="int8",
+        )
+        return lin
+
     return AWQW4A16Linear(
         pack_int4(jnp.asarray(codes.T), axis=0),
         jnp.asarray(ws, jnp.bfloat16),
@@ -223,10 +249,10 @@ def load_flux_transformer(
         )
         blk = FluxTransformerBlock(
             norm1=AdaLayerNormZero(
-                _decode_awq(b.sub("norm1.linear"), parts=6), scale_shift=0.0
+                _decode_awq(b.sub("norm1.linear"), parts=6, out_precision=out_precision), scale_shift=0.0
             ),
             norm1_context=AdaLayerNormZero(
-                _decode_awq(b.sub("norm1_context.linear"), parts=6), scale_shift=0.0
+                _decode_awq(b.sub("norm1_context.linear"), parts=6, out_precision=out_precision), scale_shift=0.0
             ),
             attn=attn,
             ff=FeedForward(svdq(f"{p}.mlp_fc1"), svdq(f"{p}.mlp_fc2")),
@@ -252,7 +278,7 @@ def load_flux_transformer(
         )
         blk = FluxSingleTransformerBlock(
             norm=AdaLayerNormZeroSingle(
-                _decode_awq(b.sub("norm.linear"), parts=3), scale_shift=0.0
+                _decode_awq(b.sub("norm.linear"), parts=3, out_precision=out_precision), scale_shift=0.0
             ),
             attn=attn,
             mlp_fc1=svdq(f"{p}.mlp_fc1"),

@@ -84,8 +84,8 @@ class FluxTransformerBlock(Module):
         ks = jax.random.split(key, 5)
         dim = cfg.dim
         return cls(
-            AdaLayerNormZero.random_init(ks[0], dim),
-            AdaLayerNormZero.random_init(ks[1], dim),
+            AdaLayerNormZero.random_init(ks[0], dim, precision=cfg.precision),
+            AdaLayerNormZero.random_init(ks[1], dim, precision=cfg.precision),
             FluxAttention.random_init(
                 ks[2], dim, cfg.num_attention_heads, cfg.attention_head_dim,
                 joint=True, rank=cfg.rank, precision=cfg.precision,
@@ -133,7 +133,7 @@ class FluxSingleTransformerBlock(Module):
         dim = cfg.dim
         hidden = dim * 4
         return cls(
-            AdaLayerNormZeroSingle.random_init(ks[0], dim),
+            AdaLayerNormZeroSingle.random_init(ks[0], dim, precision=cfg.precision),
             FluxAttention.random_init(
                 ks[1], dim, cfg.num_attention_heads, cfg.attention_head_dim,
                 joint=False, rank=cfg.rank, precision=cfg.precision,

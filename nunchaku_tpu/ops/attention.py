@@ -60,15 +60,17 @@ def _flash_kernel(
     m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
     m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
 
-    p = jnp.exp2(s - m_new[:, :1])  # (bq, bkv)
+    # bf16 exp2: attention weights need ~8 bits; faster VPU, and the
+    # probabilities feed a bf16 MXU matmul anyway
+    p = jnp.exp2((s - m_new[:, :1]).astype(jnp.bfloat16))  # (bq, bkv) bf16
     alpha = jnp.exp2(m_prev - m_new)  # (bq, 128)
 
     l_scr[...] = l_scr[...] * alpha + jnp.broadcast_to(
-        jnp.sum(p, axis=-1, keepdims=True), m_prev.shape
+        jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True), m_prev.shape
     )
     m_scr[...] = m_new
     acc_scr[...] = acc_scr[...] * alpha[:, :1] + jnp.dot(
-        p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+        p, v, preferred_element_type=jnp.float32
     )
 
     @pl.when(j == nj - 1)
@@ -85,8 +87,8 @@ def flash_attention(
     v: jnp.ndarray,
     *,
     scale: float | None = None,
-    bq: int = 512,
-    bkv: int = 1024,
+    bq: int = 768,
+    bkv: int = 1536,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Dense non-causal attention over (B, H, S, D) bf16 tensors.
