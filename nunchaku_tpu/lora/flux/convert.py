@@ -57,6 +57,17 @@ _DIFFUSERS_LEAF = {
     "norm.linear": ("norm.linear", 0, 1),
     "proj_mlp": ("mlp_fc1", 0, 1),
     "proj_out": ("proj_out", 0, 1),
+    # canonical (already-fused) names round-trip unchanged
+    "attn.to_qkv": ("attn.to_qkv", 0, 1),
+    "attn.add_qkv_proj": ("attn.add_qkv_proj", 0, 1),
+    "attn.to_out": ("attn.to_out", 0, 1),
+    "ff.fc1": ("ff.fc1", 0, 1),
+    "ff.fc2": ("ff.fc2", 0, 1),
+    "ff_context.fc1": ("ff_context.fc1", 0, 1),
+    "ff_context.fc2": ("ff_context.fc2", 0, 1),
+    "mlp_fc1": ("mlp_fc1", 0, 1),
+    "mlp_fc2": ("mlp_fc2", 0, 1),
+    "attn_out": ("attn_out", 0, 1),
 }
 
 

@@ -1,0 +1,124 @@
+"""Qwen-Image transformer (20B MMDiT), TPU-native.
+
+Counterpart of nunchaku/models/transformers/transformer_qwenimage.py
+(NunchakuQwenImageTransformerBlock :159-310, NunchakuQwenImageTransformer2DModel
+:310+). Architecturally the Qwen-Image block is the FLUX dual-stream block
+(per-stream AdaLN-Zero modulation -> joint attention -> gated GELU MLPs;
+the reference even reuses NunchakuFeedForward), so the TPU build shares
+FluxTransformerBlock wholesale: 60 joint blocks, no single-stream stack,
+timestep-only conditioning, and text rope positions that follow the token
+index instead of zeros.
+
+Structural parity now; checkpoint loading lands with a real Qwen-Image
+artifact to validate against (the on-disk schema matches the FLUX v1 block
+naming via the same C++ module registry).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ...core.module import Module
+from ..embeddings import CombinedTimestepEmbeddings, MLPEmbedder, rope_table
+from ..linear import Linear
+from ..normalization import AdaLayerNormContinuous
+from .transformer_flux import FluxConfig, FluxTransformerBlock, stack_modules
+
+
+@dataclass(frozen=True)
+class QwenImageConfig:
+    num_layers: int = 60
+    attention_head_dim: int = 128
+    num_attention_heads: int = 24
+    joint_attention_dim: int = 3584  # Qwen2.5-VL hidden size
+    in_channels: int = 64
+    out_channels: int = 16
+    axes_dims_rope: tuple = (16, 56, 56)
+    rank: int = 32
+    precision: str = "int4"
+
+    @property
+    def dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+    def as_flux(self) -> FluxConfig:
+        return FluxConfig(
+            num_layers=self.num_layers,
+            num_single_layers=0,
+            attention_head_dim=self.attention_head_dim,
+            num_attention_heads=self.num_attention_heads,
+            joint_attention_dim=self.joint_attention_dim,
+            pooled_projection_dim=0,
+            in_channels=self.in_channels,
+            out_channels=self.out_channels,
+            guidance_embeds=False,
+            axes_dims_rope=self.axes_dims_rope,
+            rank=self.rank,
+            precision=self.precision,
+        )
+
+
+class QwenImageTransformer2DModel(Module):
+    def __init__(self, cfg, img_in, txt_in, time_embed, blocks, norm_out, proj_out):
+        self.cfg = cfg
+        self.img_in = img_in
+        self.txt_in = txt_in
+        self.time_embed = time_embed
+        self.blocks = blocks  # stacked FluxTransformerBlock (Qwen == joint MMDiT)
+        self.norm_out = norm_out
+        self.proj_out = proj_out
+
+    @classmethod
+    def random_init(cls, key, cfg: QwenImageConfig):
+        ks = jax.random.split(key, 6)
+        fcfg = cfg.as_flux()
+        blocks = stack_modules(
+            [
+                FluxTransformerBlock.random_init(k, fcfg)
+                for k in jax.random.split(ks[0], cfg.num_layers)
+            ]
+        )
+        return cls(
+            cfg,
+            Linear.random_init(ks[1], cfg.in_channels, cfg.dim),
+            Linear.random_init(ks[2], cfg.joint_attention_dim, cfg.dim),
+            MLPEmbedder.random_init(ks[3], 256, cfg.dim),
+            blocks,
+            AdaLayerNormContinuous.random_init(ks[4], cfg.dim),
+            Linear.random_init(ks[5], cfg.dim, cfg.out_channels),
+        )
+
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,  # (B, S_img, in_channels)
+        encoder_hidden_states: jnp.ndarray,  # (B, S_txt, joint_dim)
+        timestep: jnp.ndarray,  # (B,)
+        img_ids: jnp.ndarray,  # (S_img, 3)
+        txt_ids: jnp.ndarray | None = None,  # (S_txt, 3); default: index rope
+    ) -> jnp.ndarray:
+        from ..embeddings import timestep_embedding
+
+        cfg = self.cfg
+        img = self.img_in(hidden_states).astype(jnp.float32)
+        txt = self.txt_in(encoder_hidden_states).astype(jnp.float32)
+        temb = self.time_embed(timestep_embedding(timestep * 1000.0, 256)).astype(
+            jnp.bfloat16
+        )
+        s_txt = txt.shape[1]
+        if txt_ids is None:
+            # Qwen text rope follows token index on every axis
+            pos = jnp.arange(s_txt, dtype=jnp.int32)[:, None]
+            txt_ids = jnp.tile(pos, (1, 3))
+        ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+        rot = rope_table(ids, cfg.axes_dims_rope)
+
+        def body(carry, block):
+            im, tx = block(*carry, temb, rot)
+            return (im, tx), None
+
+        (img, txt), _ = jax.lax.scan(body, (img, txt), self.blocks)
+        out = self.norm_out(img.astype(jnp.bfloat16), temb)
+        return self.proj_out(out).astype(jnp.bfloat16)
