@@ -193,6 +193,12 @@ def _gemm_w8a8_kernel(*refs, has_lora, has_bias, out_dtype):
         out_ref[...] = out.astype(out_dtype)
 
 
+# Per-(K, N) tuned-tile table: standalone sweeps ranked other tiles ahead,
+# but in-model (scan-pipelined) they measured neutral-to-worse, so the
+# heuristic picker below stays authoritative. Left empty deliberately.
+_TUNED_INT8: dict = {}
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -254,6 +260,11 @@ def svdq_gemm_w4a4(
             if dim % p == 0:
                 return p
         return dim
+
+    if is_int8 and bm is None and bn is None and bk is None:
+        tuned = _TUNED_INT8.get((k, n))
+        if tuned and m % min(tuned[0], m) == 0:
+            bm, bn, bk = tuned
 
     if bm is None:
         bm = _pick(m, (768, 512, 256, 128))
