@@ -1,0 +1,91 @@
+"""SANA text-to-image pipeline (counterpart of the reference's SANA path:
+examples/v1/sana1.6b.py + nunchaku/models/transformers/transformer_sana.py
+plugged into diffusers' SanaPipeline).
+
+SANA uses a 32x-compressing autoencoder (DC-AE, patch size 1) and flow
+matching; the text encoder is Gemma-2 (pluggable here like the others).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .scheduler import euler_step, flux_sigmas
+
+
+@dataclass
+class SanaPipelineOutput:
+    images: jnp.ndarray | None
+    latents: jnp.ndarray  # (B, C, h, w)
+
+
+class SanaPipeline:
+    def __init__(self, transformer, vae=None, text_encoder=None, tokenizer=None):
+        self.transformer = transformer
+        self.vae = vae
+        self.text_encoder = text_encoder
+        self.tokenizer = tokenizer
+
+    def __call__(
+        self,
+        prompt=None,
+        prompt_embeds: jnp.ndarray | None = None,
+        prompt_attention_mask: jnp.ndarray | None = None,
+        height: int = 1024,
+        width: int = 1024,
+        num_inference_steps: int = 20,
+        guidance_scale: float = 4.5,
+        pag_scale: float = 0.0,
+        seed: int = 0,
+        latents: jnp.ndarray | None = None,
+    ) -> SanaPipelineOutput:
+        if prompt_embeds is None:
+            if self.text_encoder is None:
+                raise ValueError("pass prompt_embeds or build with a text encoder")
+            ids = self.tokenizer([prompt] if isinstance(prompt, str) else prompt, 300)
+            prompt_embeds = self.text_encoder(ids)
+
+        model = self.transformer
+        cfg = model.cfg
+        b = prompt_embeds.shape[0]
+        lh, lw = height // 32, width // 32  # DC-AE f32 stride
+        s_img = lh * lw
+
+        if latents is None:
+            latents = jax.random.normal(
+                jax.random.PRNGKey(seed), (b, s_img, cfg.in_channels), jnp.float32
+            )
+
+        sigmas = flux_sigmas(num_inference_steps, use_dynamic_shifting=False, shift=3.0)
+        use_cfg = guidance_scale > 1.0
+
+        @jax.jit
+        def step(m, lat, pe, mask, t, sig, sig_next):
+            if use_cfg:
+                lat2 = jnp.concatenate([lat, lat], axis=0)
+                pe2 = jnp.concatenate([jnp.zeros_like(pe), pe], axis=0)
+                v = m(lat2.astype(jnp.bfloat16), pe2, jnp.concatenate([t, t]),
+                      cond_mask=None if mask is None else jnp.concatenate([mask, mask]))
+                v_unc, v_txt = jnp.split(v.astype(jnp.float32), 2, axis=0)
+                vel = v_unc + guidance_scale * (v_txt - v_unc)
+            else:
+                vel = m(lat.astype(jnp.bfloat16), pe, t, cond_mask=mask).astype(jnp.float32)
+            return euler_step(lat, vel, sig, sig_next)
+
+        lat = latents
+        for i in range(num_inference_steps):
+            lat = step(
+                model, lat, prompt_embeds, prompt_attention_mask,
+                jnp.full((lat.shape[0],), float(sigmas[i]), jnp.float32),
+                jnp.float32(sigmas[i]), jnp.float32(sigmas[i + 1]),
+            )
+
+        images = None
+        z = lat.reshape(b, lh, lw, cfg.out_channels).transpose(0, 3, 1, 2)
+        if self.vae is not None:
+            images = self.vae.decode(z.astype(jnp.bfloat16))
+        return SanaPipelineOutput(images=images, latents=z)

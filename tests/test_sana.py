@@ -88,3 +88,16 @@ def test_odd_dim_padding():
     ref = x.astype(jnp.float32) @ w.astype(jnp.float32)
     err = float(jnp.linalg.norm(out.astype(jnp.float32) - ref) / jnp.linalg.norm(ref))
     assert err < 0.2, err
+
+
+def test_sana_pipeline(model):
+    from nunchaku_tpu.pipeline.pipeline_sana import SanaPipeline
+
+    pipe = SanaPipeline(model)
+    pe = jax.random.normal(jax.random.PRNGKey(5), (1, 48, 320), jnp.bfloat16)
+    out = pipe(
+        prompt_embeds=pe, height=256, width=256,
+        num_inference_steps=2, guidance_scale=2.0, seed=0,
+    )
+    assert out.latents.shape == (1, 32, 8, 8)
+    assert bool(jnp.isfinite(out.latents.astype(jnp.float32)).all())
