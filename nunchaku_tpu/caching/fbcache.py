@@ -33,9 +33,11 @@ class FBCacheState(NamedTuple):
 
 
 def init_fb_state(batch, s_img, s_txt, dim) -> FBCacheState:
-    z_img = jnp.zeros((batch, s_img, dim), jnp.float32)
-    z_txt = jnp.zeros((batch, s_txt, dim), jnp.float32)
-    z_all = jnp.zeros((batch, s_img + s_txt, dim), jnp.float32)
+    # bf16 states: residuals feed a mean-relative-L1 metric and a residual
+    # add — bf16 is ample, and f32 states OOM a 16 GB chip at 1024px
+    z_img = jnp.zeros((batch, s_img, dim), jnp.bfloat16)
+    z_txt = jnp.zeros((batch, s_txt, dim), jnp.bfloat16)
+    z_all = jnp.zeros((batch, s_img + s_txt, dim), jnp.bfloat16)
     return FBCacheState(
         z_img, z_img, z_txt, z_all, z_all,
         jnp.zeros((), jnp.bool_), jnp.zeros((), jnp.int32),
@@ -44,7 +46,9 @@ def init_fb_state(batch, s_img, s_txt, dim) -> FBCacheState:
 
 def _similar(a, b, threshold):
     """mean|a-b| / mean|b| < threshold (caching/utils.py check_and_apply_cache)."""
-    diff = jnp.mean(jnp.abs(a - b)) / (jnp.mean(jnp.abs(b)) + 1e-8)
+    af = a.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    diff = jnp.mean(jnp.abs(af - bf)) / (jnp.mean(jnp.abs(bf)) + 1e-8)
     return diff < threshold
 
 
@@ -75,7 +79,7 @@ def fb_cached_forward(
 
     # always run dual block 0
     img1, txt1 = model.run_dual(img0, txt0, temb, rot, start=0, stop=1)
-    first_res = img1 - img0
+    first_res = (img1 - img0).astype(jnp.bfloat16)
     hit = jnp.logical_and(
         state.valid, _similar(first_res, state.prev_first_residual, residual_diff_threshold)
     )
@@ -94,8 +98,9 @@ def fb_cached_forward(
             img_f, txt_f = model.run_dual(img1, txt1, temb, rot, start=1)
             x1 = jnp.concatenate([txt_f, img_f], axis=1)
             x_f = model.run_singles(x1, temb, rot, s_txt)
-            return (x_f, st.prev_single_residual, x_f - x1,
-                    img_f - img1, txt_f - txt1)
+            return (x_f, st.prev_single_residual, (x_f - x1).astype(jnp.bfloat16),
+                    (img_f - img1).astype(jnp.bfloat16),
+                    (txt_f - txt1).astype(jnp.bfloat16))
 
         x_f, prev_sres, cached_sres, dual_res_img, dual_res_txt = jax.lax.cond(
             hit, on_hit, on_miss, state
@@ -111,14 +116,15 @@ def fb_cached_forward(
 
         def d_miss(st):
             img_f, txt_f = model.run_dual(img1, txt1, temb, rot, start=1)
-            return img_f, txt_f, img_f - img1, txt_f - txt1
+            return (img_f, txt_f, (img_f - img1).astype(jnp.bfloat16),
+                    (txt_f - txt1).astype(jnp.bfloat16))
 
         img_f, txt_f, dual_res_img, dual_res_txt = jax.lax.cond(
             hit, d_hit, d_miss, state
         )
         x1 = jnp.concatenate([txt_f, img_f], axis=1)
         x2 = model.run_singles(x1, temb, rot, s_txt, start=0, stop=1)
-        sres = x2 - x1
+        sres = (x2 - x1).astype(jnp.bfloat16)
         shit = jnp.logical_and(
             state.valid,
             _similar(sres, state.prev_single_residual, single_residual_diff_threshold),
@@ -129,7 +135,7 @@ def fb_cached_forward(
 
         def s_miss(st):
             x_f = model.run_singles(x2, temb, rot, s_txt, start=1)
-            return x_f, x_f - x2
+            return x_f, (x_f - x2).astype(jnp.bfloat16)
 
         x_f, cached_sres = jax.lax.cond(shit, s_hit, s_miss, state)
         prev_sres = sres

@@ -34,8 +34,8 @@ class TeaCacheState(NamedTuple):
 
 def init_teacache_state(batch, s_img, dim) -> TeaCacheState:
     return TeaCacheState(
-        jnp.zeros((batch, s_img, dim), jnp.float32),
-        jnp.zeros((batch, s_img, dim), jnp.float32),
+        jnp.zeros((batch, s_img, dim), jnp.bfloat16),
+        jnp.zeros((batch, s_img, dim), jnp.bfloat16),
         jnp.zeros((), jnp.float32),
         jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.int32),
@@ -73,10 +73,10 @@ def teacache_forward(
 
     blk0 = jax.tree.map(lambda a: a[0], model.transformer_blocks)
     modulated, *_ = blk0.norm1(img0, temb)
-    modulated = modulated.astype(jnp.float32)
+    modulated = modulated.astype(jnp.bfloat16)
 
-    rel = jnp.mean(jnp.abs(modulated - state.prev_modulated)) / (
-        jnp.mean(jnp.abs(state.prev_modulated)) + 1e-8
+    rel = jnp.mean(jnp.abs((modulated - state.prev_modulated).astype(jnp.float32))) / (
+        jnp.mean(jnp.abs(state.prev_modulated.astype(jnp.float32))) + 1e-8
     )
     acc = state.accumulated + jnp.abs(_poly(COEFFICIENTS[model_name], rel))
     boundary = jnp.logical_or(state.step == 0, state.step == num_steps - 1)
@@ -87,7 +87,7 @@ def teacache_forward(
         img, txt = model.run_dual(img0, txt0, temb, rot)
         x = jnp.concatenate([txt, img], axis=1)
         img_f = model.run_singles(x, temb, rot, s_txt)[:, s_txt:]
-        return img_f - img0  # blocks' contribution to the image stream
+        return (img_f - img0).astype(jnp.bfloat16)  # blocks' image-stream residual
 
     def replay(_):
         return state.prev_residual
