@@ -34,13 +34,20 @@ class FBCacheState(NamedTuple):
 
 def init_fb_state(batch, s_img, s_txt, dim) -> FBCacheState:
     # bf16 states: residuals feed a mean-relative-L1 metric and a residual
-    # add — bf16 is ample, and f32 states OOM a 16 GB chip at 1024px
-    z_img = jnp.zeros((batch, s_img, dim), jnp.bfloat16)
-    z_txt = jnp.zeros((batch, s_txt, dim), jnp.bfloat16)
-    z_all = jnp.zeros((batch, s_img + s_txt, dim), jnp.bfloat16)
+    # add — bf16 is ample, and f32 states OOM a 16 GB chip at 1024px.
+    # Each field gets its own buffer (states are donated by the pipeline
+    # step; aliased buffers cannot be donated twice).
+    def z(shape):
+        return jnp.zeros(shape, jnp.bfloat16)
+
     return FBCacheState(
-        z_img, z_img, z_txt, z_all, z_all,
-        jnp.zeros((), jnp.bool_), jnp.zeros((), jnp.int32),
+        z((batch, s_img, dim)),
+        z((batch, s_img, dim)),
+        z((batch, s_txt, dim)),
+        z((batch, s_img + s_txt, dim)),
+        z((batch, s_img + s_txt, dim)),
+        jnp.zeros((), jnp.bool_),
+        jnp.zeros((), jnp.int32),
     )
 
 

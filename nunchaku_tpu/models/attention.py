@@ -113,10 +113,14 @@ class FluxAttention(Module):
             return jax.lax.psum(x, self.tp_axis)
         return x
 
-    def __call__(self, hidden, encoder_hidden=None, rot=None):
-        """Dual: returns (img_attn_out, txt_attn_out). Single: raw attn (B,S,HD)."""
+    def __call__(self, hidden, encoder_hidden=None, rot=None, ip_kv=None):
+        """Dual: returns (img_attn_out, txt_attn_out[, ip_attn_out]).
+        Single: raw attn (B,S,HD). ``ip_kv = (k_ip, v_ip)`` each (B, S_ip, HD)
+        adds IP-Adapter image cross-attention using the image-stream query
+        (reference ip_adapter/utils.py:25-491)."""
         b, s_img, _ = hidden.shape
         qkv = self.to_qkv(hidden)
+        heads_local = qkv.shape[-1] // 3 // self.head_dim
         if encoder_hidden is None:
             q, k, v = qkv_norm_rope(qkv, self.head_dim, self.norm_q, self.norm_k, rot)
             o = flash_attention(q, k, v)
@@ -138,7 +142,17 @@ class FluxAttention(Module):
         txt_o, img_o = o[:, :s_txt], o[:, s_txt:]
         # to_out / to_add_out are row-parallel under TP: partial sums reduce
         # over the mesh (Megatron pairing, all compute stays on ICI)
-        return self._psum(self.to_out(img_o)), self._psum(self.to_add_out(txt_o))
+        outs = (self._psum(self.to_out(img_o)), self._psum(self.to_add_out(txt_o)))
+        if ip_kv is not None:
+            k_ip, v_ip = ip_kv
+            hd = self.head_dim
+            kip = k_ip.reshape(b, -1, heads_local, hd).transpose(0, 2, 1, 3)
+            vip = v_ip.reshape(b, -1, heads_local, hd).transpose(0, 2, 1, 3)
+            ip = flash_attention(q_i.astype(jnp.bfloat16), kip.astype(jnp.bfloat16),
+                                 vip.astype(jnp.bfloat16))
+            ip = ip.transpose(0, 2, 1, 3).reshape(b, s_img, -1)
+            outs = outs + (ip,)
+        return outs
 
 
 class FeedForward(Module):

@@ -94,14 +94,17 @@ class FluxTransformerBlock(Module):
             FeedForward.random_init(ks[4], dim, rank=cfg.rank, precision=cfg.precision),
         )
 
-    def __call__(self, img, txt, temb, rot):
+    def __call__(self, img, txt, temb, rot, ip_kv=None, ip_scale: float = 1.0):
         norm_img, gate_msa, shift_mlp, scale_mlp, gate_mlp = self.norm1(img, temb)
         norm_txt, c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = self.norm1_context(
             txt, temb
         )
-        attn_img, attn_txt = self.attn(norm_img, norm_txt, rot)
+        attn_outs = self.attn(norm_img, norm_txt, rot, ip_kv=ip_kv)
+        attn_img, attn_txt = attn_outs[0], attn_outs[1]
 
         img = img + gate_msa[:, None] * attn_img.astype(jnp.float32)
+        if len(attn_outs) == 3:  # IP-Adapter residual (transformer_flux_v2.py:238)
+            img = img + ip_scale * attn_outs[2].astype(jnp.float32)
         h = layer_norm(img) * (1.0 + scale_mlp[:, None]) + shift_mlp[:, None]
         img = img + gate_mlp[:, None] * self.ff(h.astype(attn_img.dtype)).astype(jnp.float32)
 

@@ -179,7 +179,7 @@ class FluxPipeline:
                 ),
             )
 
-            @functools.partial(jax.jit, static_argnums=())
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
             def step(model, lat, st, pe, pool, t, iids, tids, g, sig, sig_next, cb, csb):
                 vel, st = fb_cached_forward(
                     model, st, lat.astype(jnp.bfloat16), pe, pool, t, iids, tids, g, **kw
@@ -191,7 +191,7 @@ class FluxPipeline:
         if cache == "teacache":
             state = init_teacache_state(b, s_img, cfg.dim)
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
             def step(model, lat, st, pe, pool, t, iids, tids, g, sig, sig_next, cb, csb):
                 vel, st = teacache_forward(
                     model, st, lat.astype(jnp.bfloat16), pe, pool, t, iids, tids, g,
@@ -201,7 +201,7 @@ class FluxPipeline:
 
             return step, state
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(1,))
         def step(model, lat, st, pe, pool, t, iids, tids, g, sig, sig_next, cb, csb):
             vel = model(
                 lat.astype(jnp.bfloat16), pe, pool, t, iids, tids, g,

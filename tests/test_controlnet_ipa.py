@@ -1,0 +1,68 @@
+"""ControlNet model + IP-Adapter conditioning tests (tiny FLUX)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nunchaku_tpu.models.transformers.controlnet_flux import FluxControlNetModel
+from nunchaku_tpu.models.ip_adapter.flux import FluxIPAdapter, ipa_forward
+from nunchaku_tpu.models.transformers.transformer_flux import (
+    FluxConfig,
+    FluxTransformer2DModel,
+)
+
+TINY = FluxConfig(
+    num_layers=2, num_single_layers=2, num_attention_heads=2,
+    joint_attention_dim=512, pooled_projection_dim=256,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return FluxTransformer2DModel.random_init(jax.random.PRNGKey(0), TINY)
+
+
+def _args(B=1, S_img=256, S_txt=64):
+    ii = np.zeros((S_img, 3), np.int32)
+    ii[:, 1] = np.arange(S_img) // 16
+    ii[:, 2] = np.arange(S_img) % 16
+    return (
+        jax.random.normal(jax.random.PRNGKey(1), (B, S_img, 64), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(2), (B, S_txt, 512), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(3), (B, 256), jnp.bfloat16),
+        jnp.array([0.5], jnp.float32),
+        jnp.asarray(ii),
+        jnp.zeros((S_txt, 3), jnp.int32),
+        jnp.array([3.5], jnp.float32),
+    )
+
+
+def test_controlnet_produces_and_conditions(model):
+    cnet = FluxControlNetModel.random_init(jax.random.PRNGKey(4), TINY, num_layers=2)
+    args = _args()
+    cond = jax.random.normal(jax.random.PRNGKey(5), (1, 256, 64), jnp.bfloat16)
+    samples = jax.jit(lambda c, *a: c(a[0], cond, *a[1:]))(cnet, *args)
+    assert samples.shape == (2, 1, 256, TINY.dim)
+    assert bool(jnp.isfinite(samples.astype(jnp.float32)).all())
+    # zero-init projections -> zero residuals at init (standard ControlNet)
+    assert float(jnp.abs(samples).max()) == 0.0
+
+    f = jax.jit(lambda m, *a, **kw: m(*a, **kw))
+    base = f(model, *args)
+    out = f(model, *args, controlnet_block_samples=samples + 0.1)
+    assert not np.allclose(np.asarray(base, np.float32), np.asarray(out, np.float32))
+
+
+def test_ip_adapter_conditions(model):
+    ipa = FluxIPAdapter.random_init(
+        jax.random.PRNGKey(6), TINY.num_layers, cross_dim=256, inner=TINY.dim
+    )
+    args = _args()
+    image_embeds = jax.random.normal(jax.random.PRNGKey(7), (1, 16, 256), jnp.bfloat16)
+    f = jax.jit(lambda m, a, ie, *ar: ipa_forward(m, a, ie, *ar))
+    out = f(model, ipa, image_embeds, *args)
+    base = jax.jit(lambda m, *a: m(*a))(model, *args)
+    assert out.shape == base.shape
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+    assert not np.allclose(np.asarray(base, np.float32), np.asarray(out, np.float32))
