@@ -50,6 +50,53 @@ def make_img_ids(h_tokens: int, w_tokens: int) -> jnp.ndarray:
     return jnp.asarray(ids)
 
 
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cache_kind", "thresh", "single_thresh", "tea_thresh", "num_steps"),
+    donate_argnums=(1, 2),
+)
+def _denoise_scanned(
+    model, lat0, state0, pe, pool, g, cb, csb, img_ids, txt_ids, sig_pairs,
+    *, cache_kind, thresh, single_thresh, tea_thresh, num_steps,
+):
+    """Entire denoise loop as one device program (stable jit identity —
+    per-call closures would retrace + recompile every generation)."""
+    b = lat0.shape[0]
+
+    def one_step(lat, st, sig, sig_next):
+        t = jnp.full((b,), sig, jnp.float32)
+        x = lat.astype(jnp.bfloat16)
+        if cache_kind in ("fb", "double_fb"):
+            vel, st = fb_cached_forward(
+                model, st, x, pe, pool, t, img_ids, txt_ids, g,
+                residual_diff_threshold=thresh,
+                single_residual_diff_threshold=(
+                    single_thresh if cache_kind == "double_fb" else None
+                ),
+            )
+        elif cache_kind == "teacache":
+            vel, st = teacache_forward(
+                model, st, x, pe, pool, t, img_ids, txt_ids, g,
+                num_steps=num_steps, rel_l1_thresh=tea_thresh,
+            )
+        else:
+            vel = model(
+                x, pe, pool, t, img_ids, txt_ids, g,
+                controlnet_block_samples=cb,
+                controlnet_single_block_samples=csb,
+            )
+        return euler_step(lat, vel, sig, sig_next), st
+
+    def body(carry, sig):
+        lat, st = carry
+        return one_step(lat, st, sig[0], sig[1]), None
+
+    (lat, st), _ = jax.lax.scan(body, (lat0, state0), sig_pairs)
+    return lat, st
+
+
 @dataclass
 class FluxPipelineOutput:
     images: jnp.ndarray | None  # (B, H, W, 3) f32 in [0, 1], None if no VAE
@@ -103,6 +150,7 @@ class FluxPipeline:
         teacache_rel_l1_thresh: float = 0.6,
         controlnet_block_samples=None,
         controlnet_single_block_samples=None,
+        scan_steps: bool = True,  # False: python loop (per-step callbacks)
     ) -> FluxPipelineOutput:
         if prompt_embeds is None:
             prompt_embeds, pooled_prompt_embeds = self.encode_prompt(prompt)
@@ -128,34 +176,51 @@ class FluxPipeline:
             else None
         )
 
-        step_fn, state = self._make_step(
-            cache,
-            b,
-            s_img,
-            s_txt,
-            num_inference_steps,
-            residual_diff_threshold,
-            single_residual_diff_threshold,
-            teacache_rel_l1_thresh,
-        )
+        if scan_steps:
+            if cache in ("fb", "double_fb"):
+                state = init_fb_state(b, s_img, s_txt, cfg.dim)
+            elif cache == "teacache":
+                state = init_teacache_state(b, s_img, cfg.dim)
+            else:
+                state = jnp.zeros(())
+        else:
+            step_fn, state = self._make_step(
+                cache, b, s_img, s_txt, num_inference_steps,
+                residual_diff_threshold, single_residual_diff_threshold,
+                teacache_rel_l1_thresh,
+            )
 
         lat_f = latents.astype(jnp.float32)
-        for i in range(num_inference_steps):
-            lat_f, state = step_fn(
-                model,
-                lat_f,
-                state,
-                prompt_embeds,
-                pooled_prompt_embeds,
-                jnp.full((b,), float(sigmas[i]), jnp.float32),
-                img_ids,
-                txt_ids,
-                guidance,
-                jnp.float32(sigmas[i]),
-                jnp.float32(sigmas[i + 1]),
-                controlnet_block_samples,
-                controlnet_single_block_samples,
+        if scan_steps:
+            sig_pairs = jnp.stack(
+                [jnp.asarray(sigmas[:-1]), jnp.asarray(sigmas[1:])], axis=1
             )
+            lat_f, state = _denoise_scanned(
+                model, lat_f, state, prompt_embeds, pooled_prompt_embeds,
+                guidance, controlnet_block_samples, controlnet_single_block_samples,
+                img_ids, txt_ids, sig_pairs,
+                cache_kind=cache, thresh=residual_diff_threshold,
+                single_thresh=single_residual_diff_threshold,
+                tea_thresh=teacache_rel_l1_thresh,
+                num_steps=num_inference_steps,
+            )
+        else:
+            for i in range(num_inference_steps):
+                lat_f, state = step_fn(
+                    model,
+                    lat_f,
+                    state,
+                    prompt_embeds,
+                    pooled_prompt_embeds,
+                    jnp.full((b,), float(sigmas[i]), jnp.float32),
+                    img_ids,
+                    txt_ids,
+                    guidance,
+                    jnp.float32(sigmas[i]),
+                    jnp.float32(sigmas[i + 1]),
+                    controlnet_block_samples,
+                    controlnet_single_block_samples,
+                )
 
         latents = lat_f.astype(jnp.bfloat16)
         images = None

@@ -19,12 +19,12 @@ for prec in ["int8", "int4"]:
         _ = float(jnp.sum(out.latents.astype(jnp.float32)))  # forced readback sync
         return time.perf_counter() - t0
 
-    run(2)  # warm compile
+    run(10)  # warm compile (scan loop compiles per step-count)
     base = run(10)
     mem = get_device_memory()
     print(f"[{prec}] 10-step uncached: {base:.2f}s  peak HBM {mem['peak_bytes_in_use']/1e9:.2f} GB")
     if prec == "int4":  # int8 weights ~12GB: double-FB cond branches OOM 16GB at 1024px
-        run(2, cache="double_fb", thresh=1e9)
+        run(10, cache="double_fb", thresh=1e9)
         forced = run(10, cache="double_fb", thresh=1e9)  # every step hits -> mechanical ceiling
         print(f"[{prec}] 10-step double-FB forced-hit: {forced:.2f}s ({base/forced:.2f}x ceiling)")
     del model, pipe
