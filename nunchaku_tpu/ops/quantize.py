@@ -72,8 +72,9 @@ def quantize_w4a4_act_fuse_lora(
     if act_unsigned:
         xs = xs + GELU_SHIFT
     if smooth is not None:
-        rsmooth = 1.0 / smooth.astype(jnp.float32)  # (K,), negligible
-        xs = xs * rsmooth[None, :]
+        sm = smooth.astype(jnp.float32)
+        rsmooth = jnp.where(sm == 0, 1.0, 1.0 / jnp.where(sm == 0, 1.0, sm))
+        xs = xs * rsmooth[None, :]  # (K,) reciprocal, negligible
 
     def _rcp(scale):
         return jnp.where(scale == 0, 0.0, 1.0 / jnp.where(scale == 0, 1.0, scale))
