@@ -48,13 +48,23 @@ _ROW_PARALLEL = (
 )
 
 
-def _param_spec(name: str, ndim: int, stacked: bool) -> P:
-    """PartitionSpec for one parameter by naming convention."""
-    lead = ("layers",) if False else ()  # layer axis stays unsharded (scan)
+def _param_spec(name: str, shape: tuple, stacked: bool) -> P:
+    """PartitionSpec for one parameter by naming convention + shape.
+
+    int8-turbo layers store per-channel wscales (1, N): that first dim can
+    never shard; correctness-wise per-channel scales replicate under row
+    parallelism (they scale output channels, applied per-device before the
+    psum) and shard N under column parallelism.
+    """
     pad = (None,) if stacked else ()
+    local = shape[1:] if stacked else shape
+    ndim = len(shape)
 
     def spec(*dims):
         return P(*pad, *dims)
+
+    def repl():
+        return spec(*([None] * (ndim - len(pad))))
 
     leaf = name.rsplit(".", 1)[-1]
     if any(re.search(p, "." + name) for p in _COL_PARALLEL):
@@ -63,15 +73,17 @@ def _param_spec(name: str, ndim: int, stacked: bool) -> P:
         if leaf == "bias":
             return spec("tp")
         if leaf in ("smooth", "proj_down"):
-            return spec(*([None] * (ndim - len(pad))))
+            return repl()
     if any(re.search(p, "." + name) for p in _ROW_PARALLEL):
+        if leaf == "wscales" and local[0] == 1:
+            return repl()  # int8 per-channel scales
         if leaf in ("qweight", "wscales", "proj_down"):
             return spec("tp", None)
         if leaf == "smooth":
             return spec("tp")
         # bias, proj_up replicated (bias pre-divided by tp)
-        return spec(*([None] * (ndim - len(pad))))
-    return spec(*([None] * (ndim - len(pad))))
+        return repl()
+    return repl()
 
 
 def flux_param_specs(model) -> Module:
@@ -80,7 +92,7 @@ def flux_param_specs(model) -> Module:
 
     def build(name, arr):
         stacked = name.startswith(("transformer_blocks.", "single_transformer_blocks."))
-        return _param_spec(name, arr.ndim, stacked)
+        return _param_spec(name, tuple(arr.shape), stacked)
 
     specs = {n: build(n, a) for n, a in flat.items()}
     # rebuild as a pytree with same structure

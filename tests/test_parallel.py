@@ -57,3 +57,32 @@ def test_tp_matches_single_device():
     corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
     assert err < 0.06, err
     assert corr > 0.995, corr
+
+
+def test_tp_int8_mode():
+    """TP sharding also works for the int8 turbo layouts (per-channel
+    wscales (1, N) shard on N; per-token ascales replicate)."""
+    cfg = FluxConfig(
+        num_layers=1, num_single_layers=1, num_attention_heads=8,
+        joint_attention_dim=512, pooled_projection_dim=256, precision="int8",
+    )
+    model = FluxTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+    B, S_img, S_txt = 1, 256, 128
+    ii = np.zeros((S_img, 3), np.int32)
+    args = (
+        jax.random.normal(jax.random.PRNGKey(1), (B, S_img, 64), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(2), (B, S_txt, 512), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(3), (B, 256), jnp.bfloat16),
+        jnp.full((B,), 0.5, jnp.float32),
+        jnp.asarray(ii),
+        jnp.zeros((S_txt, 3), jnp.int32),
+        jnp.full((B,), 3.5, jnp.float32),
+    )
+    ref = jax.jit(lambda m, *a: m(*a))(model, *args)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(1, 4), ("dp", "tp"))
+    sharded, forward = parallelize(model, mesh)
+    out = forward(sharded, *args)
+    a = np.asarray(ref, np.float32)
+    b = np.asarray(out, np.float32)
+    err = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+    assert err < 0.06, err
