@@ -80,6 +80,7 @@ class SVDQW4A4Linear(Module):
         proj_down,
         proj_up,
         bias=None,
+        rescales=None,  # w4a8: (K/G, N) int4->per-channel-int8 rescale factors
         *,
         precision: str = "int4",
         act_unsigned: bool = False,
@@ -90,9 +91,12 @@ class SVDQW4A4Linear(Module):
         self.proj_down = proj_down
         self.proj_up = proj_up
         self.bias = bias
+        self.rescales = rescales
         self.precision = precision
         self.act_unsigned = act_unsigned
         self.in_features = qweight.shape[0] * (1 if precision == "int8" else 2)
+        if precision == "w4a8":
+            self.in_features = qweight.shape[0] * 2
         self.out_features = qweight.shape[1]
         self.rank = proj_down.shape[1]
         # logical (unpadded) dims; kernels require K%256 == 0 and N%128 == 0,
@@ -114,9 +118,17 @@ class SVDQW4A4Linear(Module):
     ):
         ks = jax.random.split(key, 5)
         std = 1.0 / math.sqrt(in_features)
+        rescales = None
         if precision == "int8":
             qw = jax.random.randint(ks[0], (in_features, out_features), -128, 128, jnp.int8)
             ws = (jnp.abs(jax.random.normal(ks[1], (1, out_features))) * std / 127).astype(jnp.float32)
+        elif precision == "w4a8":
+            g = R.GROUP_INT4
+            qw = jax.random.randint(ks[0], (in_features // 2, out_features), -128, 128, jnp.int8)
+            ws = (jnp.abs(jax.random.normal(ks[1], (1, out_features))) * std / 127).astype(jnp.float32)
+            rescales = jax.random.uniform(
+                ks[1], (in_features // g, out_features), jnp.bfloat16, 1.0, 127.0 / 7.0
+            )
         else:
             g = R.group_size(precision)
             qw = jax.random.randint(ks[0], (in_features // 2, out_features), -128, 128, jnp.int8)
@@ -125,7 +137,8 @@ class SVDQW4A4Linear(Module):
         pd = jax.random.normal(ks[2], (in_features, rank), jnp.bfloat16) * 0.02
         pu = jax.random.normal(ks[3], (rank, out_features), jnp.bfloat16) * 0.02
         b = jax.random.normal(ks[4], (out_features,), jnp.bfloat16) * 0.02 if bias else None
-        return cls(qw, ws, smooth, pd, pu, b, precision=precision, act_unsigned=act_unsigned)
+        return cls(qw, ws, smooth, pd, pu, b, rescales=rescales,
+                   precision=precision, act_unsigned=act_unsigned)
 
     @classmethod
     def from_weights(
@@ -166,6 +179,26 @@ class SVDQW4A4Linear(Module):
         pd = (q @ u[:, :rank]) * s[:rank][None, :]  # (K, r)
         pu = vt[:rank]  # (r, N)
         resid = w32 - pd @ pu
+        if precision == "w4a8":
+            # int4 storage, int8 MXU: per-64-group int4 quantization plus
+            # in-kernel rescale to per-channel int8 (ops/gemm.py w4a8 path)
+            qw, ws, _ = R.quantize_weight(resid, precision="int4")
+            s8 = jnp.max(ws, axis=0) * 7.0 / 127.0  # (N,)
+            s8 = jnp.where(s8 == 0, 1.0, s8)
+            rs = ws / s8[None, :]
+            out = cls(
+                pack_int4(qw, axis=0),
+                s8.reshape(1, n).astype(jnp.float32),
+                jnp.ones((k_dim,), jnp.bfloat16),
+                pd.astype(jnp.bfloat16),
+                pu.astype(jnp.bfloat16),
+                None if bias is None else bias.astype(jnp.bfloat16),
+                rescales=rs.astype(jnp.bfloat16),
+                precision="w4a8",
+            )
+            out.logical_in = k_log
+            out.logical_out = n_log
+            return out
         qw, ws, alpha = R.quantize_weight(resid, precision=precision)
         if precision == "nvfp4":
             ws = ws * alpha
@@ -217,6 +250,7 @@ class SVDQW4A4Linear(Module):
             lora_act,
             self.proj_up,
             self.bias,
+            self.rescales,
             precision=self.precision,
             act_unsigned=self.act_unsigned,
         )
@@ -228,6 +262,8 @@ class SVDQW4A4Linear(Module):
         # arrays are local shards of tensor-parallel weights
         x2d = x.reshape(m, x.shape[-1])
         kp = self.qweight.shape[0] * (1 if self.precision == "int8" else 2)
+        if self.precision == "w4a8":
+            kp = self.qweight.shape[0] * 2
         if x2d.shape[-1] < kp:  # odd-dim model: zero-pad input columns
             x2d = jnp.pad(x2d, ((0, 0), (0, kp - x2d.shape[-1])))
         out = self.forward_quant(*self.quantize(x2d))

@@ -109,6 +109,22 @@ def _decode_svdq(r: _Reader, *, precision: str, out_precision: str) -> SVDQW4A4L
             precision="int8",
         )
 
+    if out_precision == "w4a8" and precision == "int4":
+        # int4 storage + int8 MXU: keep the packed weights, add per-channel
+        # int8 scale + in-kernel rescale factors (ops/gemm.py w4a8 path)
+        s8 = np.maximum(ws.max(axis=0) * 7.0 / 127.0, 1e-12)
+        rs = ws / s8[None, :]
+        return SVDQW4A4Linear(
+            pack_int4(jnp.asarray(vals.T), axis=0),
+            jnp.asarray(s8.reshape(1, n), jnp.float32),
+            jnp.asarray(smooth, jnp.bfloat16),
+            jnp.asarray(pd, jnp.bfloat16),
+            jnp.asarray(pu, jnp.bfloat16),
+            None if bias is None else jnp.asarray(bias, jnp.bfloat16),
+            rescales=jnp.asarray(rs, jnp.bfloat16),
+            precision="w4a8",
+        )
+
     return SVDQW4A4Linear(
         pack_int4(jnp.asarray(vals.T), axis=0),
         jnp.asarray(ws, jnp.bfloat16),
@@ -158,7 +174,7 @@ def _decode_awq(r: _Reader, parts: int | None = None, out_precision: str = "int4
         if bias is not None:
             bias = bias[perm]
 
-    if out_precision == "int8":
+    if out_precision in ("int8", "w4a8"):
         g = ic // ws.shape[0]
         s_full = np.repeat(ws, g, axis=0)  # (K, N)
         z_full = np.repeat(wz, g, axis=0)
@@ -209,6 +225,8 @@ def load_flux_transformer(
     qcfg = json.loads(st.metadata.get("quantization_config", "{}"))
     ckpt_precision = "nvfp4" if "fp4" in str(qcfg.get("weight", {})) else "int4"
     out_precision = precision or ckpt_precision
+    if out_precision == "w4a8" and ckpt_precision != "int4":
+        out_precision = "int8"  # nvfp4 has no packed w4a8 path; requantize
 
     cfg = FluxConfig(
         num_layers=config.get("num_layers", 19),

@@ -161,6 +161,73 @@ def _gemm_w4a4_kernel(
         out_ref[...] = acc_ref[...].astype(out_dtype)
 
 
+def _gemm_w4a8_kernel(*refs, group, has_lora, has_bias, out_dtype):
+    """Hybrid: int4-packed weights in HBM, int8 MXU compute.
+
+    The packed nibbles are rescaled in VMEM from per-64-group int4 scales
+    to per-channel int8 (w8 = round(v * rs), rs = ws * (127/7) / WS
+    precomputed at load), so the contraction runs as two int8 plane dots
+    and only rank-1 scales remain for the epilogue — int8-turbo speed at
+    4-bit weight memory. Numerically identical to requantizing the weights
+    to int8 at load (the ``precision="int8"`` mode).
+    """
+    qa_ref, as_ref = refs[0], refs[1]
+    qw_ref, rs_ref, ws_ref = refs[2], refs[3], refs[4]
+    out_ref, acc_ref = refs[-2], refs[-1]
+    mid = refs[5:-2]
+    la_ref = pu_ref = b_ref = None
+    if has_lora:
+        la_ref, pu_ref, mid = mid[0], mid[1], mid[2:]
+    if has_bias:
+        (b_ref,) = mid
+
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    wp = qw_ref[...].astype(jnp.int32)  # (bk/2, bn)
+    half, bn = wp.shape
+    bk = half * 2
+    lo = (wp << 28) >> 28
+    hi = (wp << 24) >> 28
+    rs_lo, rs_hi = _wgt_plane_scales(rs_ref[...], bk, group)
+    # clip guards checkpoint values of -8 at the max-scale group
+    w8_lo = jnp.clip(
+        jnp.round(lo.astype(jnp.float32) * rs_lo.astype(jnp.float32)), -127, 127
+    ).astype(jnp.int8)
+    w8_hi = jnp.clip(
+        jnp.round(hi.astype(jnp.float32) * rs_hi.astype(jnp.float32)), -127, 127
+    ).astype(jnp.int8)
+
+    # act plane split: low plane holds logical k = 256b + [0,128)
+    a = qa_ref[...]
+    bm = a.shape[0]
+    a4 = a.reshape(bm, bk // PACK_BLOCK, 2, 128)
+    a_lo = a4[:, :, 0, :].reshape(bm, half)
+    a_hi = a4[:, :, 1, :].reshape(bm, half)
+
+    dims = (((1,), (0,)), ((), ()))
+    d = jax.lax.dot_general(a_lo, w8_lo, dims, preferred_element_type=jnp.int32)
+    d += jax.lax.dot_general(a_hi, w8_hi, dims, preferred_element_type=jnp.int32)
+    acc_ref[...] += d.astype(jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _done():
+        out = acc_ref[...] * as_ref[...].reshape(bm, 1) * ws_ref[...].astype(jnp.float32)
+        if has_lora:
+            out = out + jnp.dot(
+                la_ref[...].astype(jnp.bfloat16),
+                pu_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+        if has_bias:
+            out = out + b_ref[...].astype(jnp.float32)
+        out_ref[...] = out.astype(out_dtype)
+
+
 def _gemm_w8a8_kernel(*refs, has_lora, has_bias, out_dtype):
     qa_ref, as_ref, qw_ref, ws_ref, la_ref, pu_ref, b_ref, out_ref, acc_ref = (
         _split_refs(refs, has_lora, has_bias)
@@ -219,6 +286,7 @@ def svdq_gemm_w4a4(
     lora_act: jnp.ndarray | None = None,
     proj_up: jnp.ndarray | None = None,
     bias: jnp.ndarray | None = None,
+    rescales: jnp.ndarray | None = None,  # w4a8: (K/G, N) int4->int8 rescale
     *,
     precision: str = "int4",
     act_unsigned: bool = False,
@@ -248,10 +316,14 @@ def svdq_gemm_w4a4(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"  # tests run interpreted
     is_int8 = precision == "int8"
+    is_w4a8 = precision == "w4a8"
     m = qact.shape[0]
-    k = qact.shape[1] * (1 if is_int8 else 2)
+    k = qact.shape[1] * (1 if (is_int8 or is_w4a8) else 2)
     n = qweight.shape[1]
-    group = k if is_int8 else (GROUP_INT4 if precision == "int4" else GROUP_FP4)
+    if is_int8 or is_w4a8:
+        group = GROUP_INT4 if is_w4a8 else k
+    else:
+        group = GROUP_INT4 if precision == "int4" else GROUP_FP4
 
     # shape-adaptive defaults (tuned on v5e at FLUX shapes with the fused
     # lora+bias epilogue: int8 768^3 -> 121 TF/s, int4 768x1536x512 -> 90)
@@ -267,14 +339,15 @@ def svdq_gemm_w4a4(
             bm, bn, bk = tuned
 
     if bm is None:
-        bm = _pick(m, (768, 512, 256, 128))
+        # w4a8 VMEM budget caps bm at 512 (in-kernel int8 rescale temps)
+        bm = _pick(m, (512, 256, 128) if is_w4a8 else (768, 512, 256, 128))
     if bn is None:
         bn = _pick(n, (1536, 1024, 512, 256, 128))
     if bk is None:
         if is_int8:
             bk = _pick(k, (768, 512, 1024, 256))
         else:
-            # int4 scale blocks need (bk/group) % 8 == 0 -> bk multiple of 512
+            # int4/w4a8 scale blocks need (bk/group) % 8 == 0 -> multiple of 512
             bk = _pick(k, (512, 1024, 256))
     bm, bn, bk = min(bm, m), min(bn, n), min(bk, k)
     if m % bm or n % bn or k % bk:
@@ -295,6 +368,22 @@ def svdq_gemm_w4a4(
             _gemm_w8a8_kernel, has_lora=has_lora, has_bias=has_bias, out_dtype=out_dtype
         )
         inputs = [qact, ascales.astype(jnp.float32), qweight, wscales.astype(jnp.float32)]
+    elif is_w4a8:
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda i, j, kk: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bk // group, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ]
+        kernel = functools.partial(
+            _gemm_w4a8_kernel, group=group,
+            has_lora=has_lora, has_bias=has_bias, out_dtype=out_dtype,
+        )
+        inputs = [qact, ascales.astype(jnp.float32), qweight,
+                  rescales.astype(jnp.bfloat16), wscales.astype(jnp.float32)]
     else:
         in_specs = [
             pl.BlockSpec((bm, bk // 2), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),

@@ -79,7 +79,7 @@ def quantize_w4a4_act_fuse_lora(
     def _rcp(scale):
         return jnp.where(scale == 0, 0.0, 1.0 / jnp.where(scale == 0, 1.0, scale))
 
-    if precision == "int8":
+    if precision in ("int8", "w4a8"):
         # turbo path: per-token int8 (the reference's quantize_w8a8_act,
         # zgemm.h:54-63, with per-token scales); no packing, scale (1, M)
         absmax = jnp.max(jnp.abs(xs), axis=-1)

@@ -143,3 +143,32 @@ class TestFlashAttention:
         ref = sdpa_reference(q, k, v)
         err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
         assert err < 0.05, err
+
+
+class TestW4A8:
+    def test_matches_int4_weights(self):
+        """w4a8 stores the *same* int4 weights as int4 mode (int8 MXU only
+        changes the activation/compute path): outputs agree to the int8
+        activation-quantization noise level."""
+        from nunchaku_tpu.models.linear import SVDQW4A4Linear
+
+        w = jnp.asarray(rng.normal(size=(512, 256)) * 0.05, jnp.bfloat16)
+        b = jnp.asarray(rng.normal(size=(256,)) * 0.1, jnp.bfloat16)
+        x = jnp.asarray(rng.normal(size=(1, 64, 512)), jnp.bfloat16)
+        l4 = SVDQW4A4Linear.from_weights(w, b, rank=16, precision="int4")
+        l48 = SVDQW4A4Linear.from_weights(w, b, rank=16, precision="w4a8")
+        assert l48.qweight.shape == (256, 256)  # packed 4-bit
+        np.testing.assert_array_equal(  # identical stored int4 values
+            np.asarray(l4.qweight), np.asarray(l48.qweight)
+        )
+        o4 = l4(x).astype(jnp.float32)
+        o48 = l48(x).astype(jnp.float32)
+        # int8-per-token acts are *finer* than int4-per-64: differences stay
+        # within the int4 act-quantization noise
+        err = float(jnp.linalg.norm(o48 - o4) / (jnp.linalg.norm(o4) + 1e-9))
+        assert err < 0.1, err
+        # and w4a8 tracks the bf16 reference at least as well as int4
+        ref = x.astype(jnp.float32) @ w.astype(jnp.float32) + b.astype(jnp.float32)
+        e48 = float(jnp.linalg.norm(o48 - ref) / jnp.linalg.norm(ref))
+        e4 = float(jnp.linalg.norm(o4 - ref) / jnp.linalg.norm(ref))
+        assert e48 <= e4 * 1.05, (e48, e4)
