@@ -68,7 +68,9 @@ def _param_spec(name: str, shape: tuple, stacked: bool) -> P:
 
     leaf = name.rsplit(".", 1)[-1]
     if any(re.search(p, "." + name) for p in _COL_PARALLEL):
-        if leaf in ("qweight", "wscales", "proj_up"):
+        if leaf == "wscales" and local[0] == 1:
+            return spec(None, "tp")  # int8/w4a8 per-channel scales
+        if leaf in ("qweight", "wscales", "proj_up", "rescales"):
             return spec(None, "tp")
         if leaf == "bias":
             return spec("tp")
@@ -76,8 +78,8 @@ def _param_spec(name: str, shape: tuple, stacked: bool) -> P:
             return repl()
     if any(re.search(p, "." + name) for p in _ROW_PARALLEL):
         if leaf == "wscales" and local[0] == 1:
-            return repl()  # int8 per-channel scales
-        if leaf in ("qweight", "wscales", "proj_down"):
+            return repl()  # int8/w4a8 per-channel scales
+        if leaf in ("qweight", "wscales", "proj_down", "rescales"):
             return spec("tp", None)
         if leaf == "smooth":
             return spec("tp")
