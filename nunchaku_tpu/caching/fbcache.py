@@ -72,20 +72,30 @@ def fb_cached_forward(
     *,
     residual_diff_threshold: float = 0.12,
     single_residual_diff_threshold: float | None = None,
+    controlnet_block_samples=None,
+    controlnet_single_block_samples=None,
 ):
     """One cached transformer step. Returns (velocity, new_state).
 
     ``single_residual_diff_threshold`` enables double FB cache; None keeps
     the single-level scheme (singles are cached together with the duals).
+
+    ControlNet residuals thread through every computed branch (the reference
+    supports cache x controlnet, tests/flux/test_flux_txt2img_cache_controlnet
+    .py); on a hit the cached residual already contains the conditioning from
+    the step it was computed at, matching the reference's replay semantics.
     """
+    cb, csb = controlnet_block_samples, controlnet_single_block_samples
     img0, txt0, temb, rot = model.embed(
         hidden_states, encoder_hidden_states, pooled_projections,
         timestep, img_ids, txt_ids, guidance,
     )
     s_txt = txt0.shape[1]
 
-    # always run dual block 0
-    img1, txt1 = model.run_dual(img0, txt0, temb, rot, start=0, stop=1)
+    # always run dual block 0 (with its controlnet residual, if any)
+    img1, txt1 = model.run_dual(
+        img0, txt0, temb, rot, start=0, stop=1, controlnet_block_samples=cb
+    )
     first_res = (img1 - img0).astype(jnp.bfloat16)
     hit = jnp.logical_and(
         state.valid, _similar(first_res, state.prev_first_residual, residual_diff_threshold)
@@ -102,9 +112,13 @@ def fb_cached_forward(
                     st.cached_dual_residual_img, st.cached_dual_residual_txt)
 
         def on_miss(st):
-            img_f, txt_f = model.run_dual(img1, txt1, temb, rot, start=1)
+            img_f, txt_f = model.run_dual(
+                img1, txt1, temb, rot, start=1, controlnet_block_samples=cb
+            )
             x1 = jnp.concatenate([txt_f, img_f], axis=1)
-            x_f = model.run_singles(x1, temb, rot, s_txt)
+            x_f = model.run_singles(
+                x1, temb, rot, s_txt, controlnet_single_block_samples=csb
+            )
             return (x_f, st.prev_single_residual, (x_f - x1).astype(jnp.bfloat16),
                     (img_f - img1).astype(jnp.bfloat16),
                     (txt_f - txt1).astype(jnp.bfloat16))
@@ -122,7 +136,9 @@ def fb_cached_forward(
                     st.cached_dual_residual_img, st.cached_dual_residual_txt)
 
         def d_miss(st):
-            img_f, txt_f = model.run_dual(img1, txt1, temb, rot, start=1)
+            img_f, txt_f = model.run_dual(
+                img1, txt1, temb, rot, start=1, controlnet_block_samples=cb
+            )
             return (img_f, txt_f, (img_f - img1).astype(jnp.bfloat16),
                     (txt_f - txt1).astype(jnp.bfloat16))
 
@@ -130,7 +146,10 @@ def fb_cached_forward(
             hit, d_hit, d_miss, state
         )
         x1 = jnp.concatenate([txt_f, img_f], axis=1)
-        x2 = model.run_singles(x1, temb, rot, s_txt, start=0, stop=1)
+        x2 = model.run_singles(
+            x1, temb, rot, s_txt, start=0, stop=1,
+            controlnet_single_block_samples=csb,
+        )
         sres = (x2 - x1).astype(jnp.bfloat16)
         shit = jnp.logical_and(
             state.valid,
@@ -141,7 +160,10 @@ def fb_cached_forward(
             return x2 + st.cached_single_residual, st.cached_single_residual
 
         def s_miss(st):
-            x_f = model.run_singles(x2, temb, rot, s_txt, start=1)
+            x_f = model.run_singles(
+                x2, temb, rot, s_txt, start=1,
+                controlnet_single_block_samples=csb,
+            )
             return x_f, (x_f - x2).astype(jnp.bfloat16)
 
         x_f, cached_sres = jax.lax.cond(shit, s_hit, s_miss, state)

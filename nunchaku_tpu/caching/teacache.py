@@ -63,6 +63,8 @@ def teacache_forward(
     num_steps: int,
     rel_l1_thresh: float = 0.6,
     model_name: str = "flux",
+    controlnet_block_samples=None,
+    controlnet_single_block_samples=None,
 ):
     """One TeaCache step. Returns (velocity, new_state)."""
     img0, txt0, temb, rot = model.embed(
@@ -84,9 +86,15 @@ def teacache_forward(
     acc = jnp.where(boundary | should_calc, 0.0, acc)
 
     def compute(_):
-        img, txt = model.run_dual(img0, txt0, temb, rot)
+        img, txt = model.run_dual(
+            img0, txt0, temb, rot,
+            controlnet_block_samples=controlnet_block_samples,
+        )
         x = jnp.concatenate([txt, img], axis=1)
-        img_f = model.run_singles(x, temb, rot, s_txt)[:, s_txt:]
+        img_f = model.run_singles(
+            x, temb, rot, s_txt,
+            controlnet_single_block_samples=controlnet_single_block_samples,
+        )[:, s_txt:]
         return (img_f - img0).astype(jnp.bfloat16)  # blocks' image-stream residual
 
     def replay(_):

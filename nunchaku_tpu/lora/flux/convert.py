@@ -122,10 +122,12 @@ def to_canonical(state_dict: dict, strength: float = 1.0) -> dict:
     # fuse q/k/v parts into single projections
     out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     fused: dict[str, dict[int, tuple]] = {}
+    nparts_of: dict[str, int] = {}
     for path, slot in pairs.items():
         if "@@" in path:
             base, tag = path.split("@@")
-            part = int(tag.split("of")[0])
+            part, nparts = (int(t) for t in tag.split("of"))
+            nparts_of[base] = nparts
             fused.setdefault(base, {})[part] = (slot.get("A"), slot.get("B"))
             continue
         a, b_mat = slot.get("A"), slot.get("B")
@@ -135,17 +137,23 @@ def to_canonical(state_dict: dict, strength: float = 1.0) -> dict:
         out[path] = (a * scale, b_mat)
 
     for base, parts in fused.items():
-        ranks = [parts[p][0].shape[0] for p in sorted(parts)]
-        k_dim = next(iter(parts.values()))[0].shape[1]
-        n_each = [parts[p][1].shape[0] for p in sorted(parts)]
-        r_tot = sum(ranks)
+        # drop incomplete parts (A or B missing) rather than crash
+        parts = {p: ab for p, ab in parts.items() if ab[0] is not None and ab[1] is not None}
+        if not parts:
+            continue
+        # A LoRA may legally cover only a subset of q/k/v (diffusers format):
+        # size B to the FULL fused width and place each part's rows at its
+        # true offset part*inner, leaving missing parts zero.
+        nparts = nparts_of[base]
+        inner = next(iter(parts.values()))[1].shape[0]
+        r_tot = sum(parts[p][0].shape[0] for p in sorted(parts))
         a_cat = np.concatenate([parts[p][0] for p in sorted(parts)], axis=0)
-        b_cat = np.zeros((sum(n_each), r_tot), np.float32)
-        row = col = 0
+        b_cat = np.zeros((nparts * inner, r_tot), np.float32)
+        col = 0
         for p in sorted(parts):
-            a, b_mat = parts[p]
-            b_cat[row : row + b_mat.shape[0], col : col + b_mat.shape[1]] = b_mat
-            row += b_mat.shape[0]
+            _, b_mat = parts[p]
+            assert b_mat.shape[0] == inner, (base, p, b_mat.shape, inner)
+            b_cat[p * inner : (p + 1) * inner, col : col + b_mat.shape[1]] = b_mat
             col += b_mat.shape[1]
         out[base] = (a_cat * strength, b_cat)
 

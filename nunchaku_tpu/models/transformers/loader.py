@@ -278,9 +278,14 @@ def load_flux_transformer(
                 svdq(f"{p}.mlp_context_fc1"), svdq(f"{p}.mlp_context_fc2")
             ),
         )
-        # fc2 runs on unsigned shifted GELU output (int4 only)
-        blk.ff.fc2.act_unsigned = out_precision == "int4"
-        blk.ff_context.fc2.act_unsigned = out_precision == "int4"
+        # fc2 runs on unsigned shifted GELU output. int4 *checkpoints* bake
+        # the +0.171875 shift compensation (shift * sum(residual_w)) into the
+        # fc2 bias (reference gemm_w4a4_launch_impl.cuh:286 applies the shift
+        # unconditionally for int4) — so the shift must be applied whenever
+        # the checkpoint was int4, even when running int8/w4a8 turbo modes
+        # (quantize_w4a4_act_fuse_lora adds GELU_SHIFT before those branches).
+        blk.ff.fc2.act_unsigned = ckpt_precision == "int4"
+        blk.ff_context.fc2.act_unsigned = ckpt_precision == "int4"
         dual.append(blk)
 
     single = []
@@ -303,7 +308,7 @@ def load_flux_transformer(
             mlp_fc2=svdq(f"{p}.mlp_fc2"),
             attn_out=svdq(f"{p}.out_proj"),
         )
-        blk.mlp_fc2.act_unsigned = out_precision == "int4"
+        blk.mlp_fc2.act_unsigned = ckpt_precision == "int4"
         single.append(blk)
 
     time_text = CombinedTimestepEmbeddings(

@@ -308,10 +308,13 @@ class FluxTransformer2DModel(Module):
 
 
 def _expand_controlnet(samples, n_layers: int):
-    """Spread controlnet residuals over layers (diffusers interleave rule:
-    layer i adds samples[i * len / n] — FluxModel.cpp:1290-1333)."""
+    """Spread controlnet residuals over layers. Reference rule
+    (FluxModel.cpp:1293-1296): interval = ceil(L / n), layer i adds
+    samples[i // interval] — NOT (i * n) // L, which diverges when the
+    counts don't divide (L=19, n=3: layer 13 -> sample 1, not 2)."""
     if samples is None:
         return None
     n = samples.shape[0]
-    idx = (jnp.arange(n_layers) * n) // n_layers
+    interval = -(-n_layers // n)  # ceil
+    idx = jnp.arange(n_layers) // interval
     return samples[idx]

@@ -144,6 +144,10 @@ def _reorder_qkv_columns(model, tp_size: int) -> None:
             lin.proj_up = take(lin.proj_up, -1)
             if lin.bias is not None:
                 lin.bias = take(lin.bias, -1)
+            # w4a8 mode: the (K/G, N) int4->int8 rescale table indexes the
+            # same output channels as qweight — permute it too.
+            if getattr(lin, "rescales", None) is not None:
+                lin.rescales = take(lin.rescales, -1)
 
 
 def _scale_row_parallel_bias(model, tp_size: int) -> None:

@@ -75,11 +75,15 @@ def _denoise_scanned(
                 single_residual_diff_threshold=(
                     single_thresh if cache_kind == "double_fb" else None
                 ),
+                controlnet_block_samples=cb,
+                controlnet_single_block_samples=csb,
             )
         elif cache_kind == "teacache":
             vel, st = teacache_forward(
                 model, st, x, pe, pool, t, img_ids, txt_ids, g,
                 num_steps=num_steps, rel_l1_thresh=tea_thresh,
+                controlnet_block_samples=cb,
+                controlnet_single_block_samples=csb,
             )
         else:
             vel = model(
@@ -247,7 +251,9 @@ class FluxPipeline:
             @functools.partial(jax.jit, donate_argnums=(1, 2))
             def step(model, lat, st, pe, pool, t, iids, tids, g, sig, sig_next, cb, csb):
                 vel, st = fb_cached_forward(
-                    model, st, lat.astype(jnp.bfloat16), pe, pool, t, iids, tids, g, **kw
+                    model, st, lat.astype(jnp.bfloat16), pe, pool, t, iids, tids, g,
+                    controlnet_block_samples=cb,
+                    controlnet_single_block_samples=csb, **kw
                 )
                 return euler_step(lat, vel, sig, sig_next), st
 
@@ -261,6 +267,8 @@ class FluxPipeline:
                 vel, st = teacache_forward(
                     model, st, lat.astype(jnp.bfloat16), pe, pool, t, iids, tids, g,
                     num_steps=num_steps, rel_l1_thresh=tea_thresh,
+                    controlnet_block_samples=cb,
+                    controlnet_single_block_samples=csb,
                 )
                 return euler_step(lat, vel, sig, sig_next), st
 

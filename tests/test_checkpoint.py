@@ -204,6 +204,27 @@ def test_load_and_run(tmp_path, precision):
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
 
 
+@pytest.mark.parametrize("precision", [None, "int8", "w4a8"])
+def test_act_unsigned_follows_checkpoint_precision(tmp_path, precision):
+    """int4 checkpoints bake the +0.171875 GELU-shift compensation into the
+    fc2 bias (reference gemm_w4a4_launch_impl.cuh:286 applies the shift
+    unconditionally for int4), so fc2 must run unsigned-shifted in *every*
+    runtime precision when the checkpoint was int4 (ADVICE r1 #1)."""
+    from nunchaku_tpu.models.transformers.loader import load_flux_transformer
+    from nunchaku_tpu.models.transformers.transformer_flux import slice_module
+
+    path = _build_checkpoint(tmp_path)
+    model = load_flux_transformer(path, precision=precision)
+    dual = slice_module(model.transformer_blocks, 0)
+    single = slice_module(model.single_transformer_blocks, 0)
+    assert dual.ff.fc2.act_unsigned
+    assert dual.ff_context.fc2.act_unsigned
+    assert single.mlp_fc2.act_unsigned
+    # ... and nowhere else: fc1 / attention projections stay signed
+    assert not dual.ff.fc1.act_unsigned
+    assert not dual.attn.to_qkv.act_unsigned
+
+
 def test_loaded_linear_matches_oracle(tmp_path):
     """The decoded qkv linear reproduces the oracle dequant matmul."""
     from nunchaku_tpu.models.transformers.loader import load_flux_transformer

@@ -43,6 +43,27 @@ class TestConvert:
         assert np.all(b[:DIM, 4:] == 0) and np.all(b[DIM:2 * DIM, :4] == 0)
         assert "transformer_blocks.0.ff.fc1" in out
 
+    def test_qkv_subset(self):
+        """A LoRA covering only q and v (legal in diffusers format) must
+        produce a full-width B with k's rows zero (ADVICE r1 #5)."""
+        r = 4
+        sd = {}
+        for leaf in ("attn.to_q", "attn.to_v"):
+            sd[f"transformer.transformer_blocks.0.{leaf}.lora_A.weight"] = (
+                rng.standard_normal((r, DIM)).astype(np.float32) * 0.02
+            )
+            sd[f"transformer.transformer_blocks.0.{leaf}.lora_B.weight"] = (
+                rng.standard_normal((DIM, r)).astype(np.float32) * 0.02
+            )
+        out = to_canonical(sd)
+        a, b = out["transformer_blocks.0.attn.to_qkv"]
+        assert a.shape == (2 * r, DIM)
+        assert b.shape == (3 * DIM, 2 * r)  # full fused width
+        # k rows (middle third) untouched; q hits ranks 0:4, v ranks 4:8
+        assert np.all(b[DIM : 2 * DIM] == 0)
+        assert np.any(b[:DIM, :r] != 0) and np.all(b[:DIM, r:] == 0)
+        assert np.any(b[2 * DIM :, r:] != 0) and np.all(b[2 * DIM :, :r] == 0)
+
     def test_kohya_names_and_alpha(self):
         r = 4
         sd = {

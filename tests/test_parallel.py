@@ -59,12 +59,11 @@ def test_tp_matches_single_device():
     assert corr > 0.995, corr
 
 
-def test_tp_int8_mode():
-    """TP sharding also works for the int8 turbo layouts (per-channel
-    wscales (1, N) shard on N; per-token ascales replicate)."""
+def _tp_mode_check(precision, tol=0.06):
     cfg = FluxConfig(
         num_layers=1, num_single_layers=1, num_attention_heads=8,
-        joint_attention_dim=512, pooled_projection_dim=256, precision="int8",
+        joint_attention_dim=512, pooled_projection_dim=256,
+        precision=precision,
     )
     model = FluxTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
     B, S_img, S_txt = 1, 256, 128
@@ -85,4 +84,18 @@ def test_tp_int8_mode():
     a = np.asarray(ref, np.float32)
     b = np.asarray(out, np.float32)
     err = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
-    assert err < 0.06, err
+    assert err < tol, err
+
+
+def test_tp_int8_mode():
+    """TP sharding also works for the int8 turbo layouts (per-channel
+    wscales (1, N) shard on N; per-token ascales replicate)."""
+    _tp_mode_check("int8")
+
+
+def test_tp_w4a8_mode():
+    """w4a8: the (K/G, N) int4->int8 rescale table must follow the fused-QKV
+    column permutation (ADVICE r1 #2 — previously unpermuted, corrupting
+    every attention projection under tp>1). Tolerance has teeth: with the
+    rescale permutation err~=0.0025 on this config; without it ~0.0075."""
+    _tp_mode_check("w4a8", tol=0.005)
