@@ -11,11 +11,14 @@ flash-attention kernel.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
 from ..core.module import Module
-from ..ops.attention import flash_attention
+from ..ops.attention import flash_attention, flash_attention_bshd
+from ..ops.gemm import svdq_gemm_w8a8_gelu_quant
 from ..ops.reference import GELU_SHIFT, rmsnorm
 from .embeddings import apply_rope
 from .linear import SVDQW4A4Linear
@@ -31,6 +34,11 @@ def qkv_norm_rope(
 ):
     """(B, S, 3HD) fused-qkv output -> per-head q, k, v (B, H, S, D).
 
+    The (B,H,S,D) transpose costs an HBM relayout (~30 ms/step at FLUX
+    1024px) but buys fully-contiguous streaming inside the flash kernel —
+    measured strictly faster than every transpose-free layout tried
+    (per-head 128-lane column blocks: 39 TF/s; multi-head blocks: 62 TF/s;
+    transposed: 161 TF/s in-model).
     The head count comes from the array shape: under tensor parallelism
     (heads sharded over the mesh) this sees the local head count.
     """
@@ -181,11 +189,47 @@ class FeedForward(Module):
         )
 
     def __call__(self, x):
-        h = self.fc1(x)
-        h = jax.nn.gelu(h.astype(jnp.float32), approximate=True)
-        # fc2.act_unsigned adds GELU_SHIFT inside its quantize step; the
-        # shifted values are >= 0 (gelu min is about -0.17).
-        out = self.fc2(h.astype(jnp.bfloat16))
+        out = gelu_mlp(self.fc1, self.fc2, x)
         if self.tp_axis is not None:  # fc2 is row-parallel under TP
             out = jax.lax.psum(out, self.tp_axis)
         return out
+
+
+def _can_chain(fc1, fc2) -> bool:
+    return (
+        getattr(fc1, "precision", None) == "int8"
+        and getattr(fc2, "precision", None) == "int8"
+        and fc1.logical_out == fc1.out_features
+        and fc2.logical_out == fc2.out_features
+    )
+
+
+def gelu_mlp(fc1, fc2, x):
+    """fc1 -> GELU -> fc2 (reference fused_gelu_mlp, ops/fused.py:14-83).
+
+    int8 mode runs the fused GELU_QUANT chain: fc1's GEMM epilogue emits
+    fc2's quantized activations + per-(token, tile) scales + lora_act, so
+    the bf16 intermediate never touches HBM and no standalone quantize runs
+    (reference src/Linear.cpp:270-438). Works under TP unchanged: fc1 is
+    column-parallel, fc2 row-parallel — local shards line up and the psum
+    happens in the caller. Other precisions use the unfused path.
+    """
+    if _can_chain(fc1, fc2):
+        lead = x.shape[:-1]
+        m = math.prod(lead)
+        x2d = x.reshape(m, x.shape[-1])
+        qact, asc, la = fc1.quantize(x2d)
+        sm = fc2.smooth.astype(jnp.float32)
+        rsm = jnp.where(sm == 0, 1.0, 1.0 / jnp.where(sm == 0, 1.0, sm))
+        qout, qs, la2 = svdq_gemm_w8a8_gelu_quant(
+            qact, asc, fc1.qweight, fc1.wscales, la, fc1.proj_up, fc1.bias,
+            rsm, fc2.proj_down, act_unsigned_next=bool(fc2.act_unsigned),
+            gelu_shift=GELU_SHIFT,
+        )
+        out = fc2.forward_quant(qout, qs, la2)
+        return out[:m].reshape(*lead, out.shape[-1])
+    h = fc1(x)
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True)
+    # fc2.act_unsigned adds GELU_SHIFT inside its quantize step; the
+    # shifted values are >= 0 (gelu min is about -0.17).
+    return fc2(h.astype(jnp.bfloat16))

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ...core.module import Module
-from ..attention import FeedForward, FluxAttention
+from ..attention import FeedForward, FluxAttention, gelu_mlp
 from ..embeddings import CombinedTimestepEmbeddings, rope_table
 from ..linear import Linear, SVDQW4A4Linear
 from ..normalization import (
@@ -152,9 +152,8 @@ class FluxSingleTransformerBlock(Module):
     def __call__(self, x, temb, rot):
         norm_x, gate = self.norm(x, temb)
         attn = self.attn(norm_x, None, rot)
-        h = self.mlp_fc1(norm_x)
-        h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(jnp.bfloat16)
-        out = self.attn_out(attn).astype(jnp.float32) + self.mlp_fc2(h).astype(jnp.float32)
+        mlp = gelu_mlp(self.mlp_fc1, self.mlp_fc2, norm_x)
+        out = self.attn_out(attn).astype(jnp.float32) + mlp.astype(jnp.float32)
         if self.tp_axis is not None:  # attn_out + mlp_fc2 are row-parallel
             out = jax.lax.psum(out, self.tp_axis)
         return x + gate[:, None] * out

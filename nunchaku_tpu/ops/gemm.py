@@ -228,10 +228,83 @@ def _gemm_w4a8_kernel(*refs, group, has_lora, has_bias, out_dtype):
         out_ref[...] = out.astype(out_dtype)
 
 
-def _gemm_w8a8_kernel(*refs, has_lora, has_bias, out_dtype):
+def _gemm_w8a8_kernel(*refs, has_lora, has_bias, out_dtype, grouped_as=False):
     qa_ref, as_ref, qw_ref, ws_ref, la_ref, pu_ref, b_ref, out_ref, acc_ref = (
         _split_refs(refs, has_lora, has_bias)
     )
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    d = jax.lax.dot_general(
+        qa_ref[...], qw_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    if grouped_as:
+        # per-(token, k-group) act scales (one group per k step): fold the
+        # group's scale into the partial sum — the fused requant chain's
+        # consumer side (reference Linear.cpp:270-438 forward_quant on
+        # GELU_QUANT-produced activations)
+        bm = d.shape[0]
+        acc_ref[...] += d.astype(jnp.float32) * as_ref[...].reshape(bm, 1)
+    else:
+        acc_ref[...] += d.astype(jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _done():
+        bm = acc_ref.shape[0]
+        if grouped_as:
+            out = acc_ref[...] * ws_ref[...].astype(jnp.float32)
+        else:
+            out = acc_ref[...] * as_ref[...].reshape(bm, 1) * ws_ref[...].astype(jnp.float32)
+        if has_lora:
+            out = out + jnp.dot(
+                la_ref[...].astype(jnp.bfloat16),
+                pu_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+        if has_bias:
+            out = out + b_ref[...].astype(jnp.float32)
+        out_ref[...] = out.astype(out_dtype)
+
+
+def _tanh_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """tanh-approx GELU (reference gemm_utils.cuh:306 semantics), f32."""
+    c = 0.7978845608028654  # sqrt(2/pi)
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+
+
+def _gemm_w8a8_gelu_quant_kernel(
+    *refs, has_lora, has_bias, act_unsigned_next, gelu_shift
+):
+    """int8 GEMM whose epilogue emits the NEXT layer's quantized activations.
+
+    TPU counterpart of the reference's FuseOptions::GELU_QUANT chain
+    (src/Linear.cpp:270-438 + EpilogueQuantize gemm_w4a4.cuh:931): the fc1
+    GEMM's output tile is GELU'd, scaled by the next layer's 1/smooth,
+    per-token-per-tile quantized to int8, and the next layer's low-rank
+    activation partial (gelu_out @ proj_down_next) is computed on the MXU —
+    the bf16 intermediate never round-trips HBM and the standalone quantize
+    kernel disappears. Scales are per-(token, N-tile): FINER than the
+    reference's per-token scales, and exactly what the grouped-as consumer
+    kernel (``_gemm_w8a8_kernel(grouped_as=True)``) expects.
+
+    Outputs: qout (M, N) int8; qscales (nj, M) f32; lora_part (nj, M, R) f32
+    (summed over nj by the caller — keeps the j grid axis parallel).
+    """
+    qa_ref, as_ref, qw_ref, ws_ref = refs[:4]
+    mid = refs[4:-4]
+    la_ref = pu_ref = b_ref = None
+    if has_lora:
+        la_ref, pu_ref, mid = mid[0], mid[1], mid[2:]
+    if has_bias:
+        b_ref, mid = mid[0], mid[1:]
+    rsm_ref, pd_ref = mid
+    qout_ref, qs_ref, lp_ref, acc_ref = refs[-4:]
+
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -257,13 +330,141 @@ def _gemm_w8a8_kernel(*refs, has_lora, has_bias, out_dtype):
             )
         if has_bias:
             out = out + b_ref[...].astype(jnp.float32)
-        out_ref[...] = out.astype(out_dtype)
+        g = _tanh_gelu(out)
+        # next layer's lora_act partial on the raw (unshifted, unsmoothed)
+        # activation — matches ops/quantize.py ordering
+        lp_ref[0] = jnp.dot(
+            g.astype(jnp.bfloat16), pd_ref[...], preferred_element_type=jnp.float32
+        )
+        if act_unsigned_next:
+            g = g + gelu_shift
+        h = g * rsm_ref[...].astype(jnp.float32)  # x / smooth_next
+        absmax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)  # (bm, 1)
+        scale = absmax / 127.0
+        rcp = jnp.where(scale == 0, 0.0, 1.0 / jnp.where(scale == 0, 1.0, scale))
+        qout_ref[...] = jnp.clip(jnp.round(h * rcp), -127, 127).astype(jnp.int8)
+        qs_ref[...] = scale.reshape(1, 1, bm)
 
 
 # Per-(K, N) tuned-tile table: standalone sweeps ranked other tiles ahead,
 # but in-model (scan-pipelined) they measured neutral-to-worse, so the
 # heuristic picker below stays authoritative. Left empty deliberately.
 _TUNED_INT8: dict = {}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act_unsigned_next", "gelu_shift", "bm", "bn", "bk", "interpret"),
+)
+def svdq_gemm_w8a8_gelu_quant(
+    qact: jnp.ndarray,
+    ascales: jnp.ndarray,
+    qweight: jnp.ndarray,
+    wscales: jnp.ndarray,
+    lora_act: jnp.ndarray | None,
+    proj_up: jnp.ndarray | None,
+    bias: jnp.ndarray | None,
+    rsmooth_next: jnp.ndarray,
+    proj_down_next: jnp.ndarray,
+    *,
+    act_unsigned_next: bool = False,
+    gelu_shift: float = 0.171875,
+    bm: int | None = None,
+    bn: int | None = None,
+    bk: int | None = None,
+    interpret: bool | None = None,
+):
+    """int8 GEMM + fused GELU->requantize chain (reference GELU_QUANT,
+    src/Linear.cpp:270-438): returns the NEXT layer's quantized activations.
+
+    Inputs follow the int8 layouts of :func:`svdq_gemm_w4a4` plus
+    ``rsmooth_next`` (N,) = 1/next.smooth and ``proj_down_next`` (N, R).
+    Returns (qout (M, N) int8, qscales (N/bn, M) f32, lora_next (M, R) f32).
+    Feed all three to the consumer: grouped qscales are consumed by the
+    int8 GEMM's grouped-as path (consumer bk must equal this bn).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    m, k = qact.shape
+    n = qweight.shape[1]
+    if bm is None:
+        # epilogue holds acc + qout + gelu temps in VMEM: bm 512 is the cap
+        bm = _pick_dim(m, (512, 256, 128))
+    if bn is None:
+        bn = _pick_dim(n, (1536, 1024, 512, 256, 128))
+    if bk is None:
+        bk = _pick_dim(k, (768, 512, 1024, 256))
+    bm, bn, bk = min(bm, m), min(bn, n), min(bk, k)
+    if m % bm or n % bn or k % bk:
+        raise ValueError(f"shape ({m},{n},{k}) not divisible by ({bm},{bn},{bk})")
+    nj = n // bn
+    r = proj_down_next.shape[1]
+    has_lora = lora_act is not None
+    has_bias = bias is not None
+
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm), lambda i, j, kk: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+    ]
+    inputs = [qact, ascales.astype(jnp.float32), qweight, wscales.astype(jnp.float32)]
+    if has_lora:
+        in_specs += [
+            pl.BlockSpec((bm, lora_act.shape[1]), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lora_act.shape[1], bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ]
+        inputs += [lora_act, proj_up.astype(jnp.bfloat16)]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM))
+        inputs.append(bias.reshape(1, n))
+    in_specs += [
+        pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, r), lambda i, j, kk: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs += [
+        rsmooth_next.reshape(1, n).astype(jnp.float32),
+        proj_down_next.astype(jnp.bfloat16),
+    ]
+
+    kernel = functools.partial(
+        _gemm_w8a8_gelu_quant_kernel,
+        has_lora=has_lora, has_bias=has_bias,
+        act_unsigned_next=act_unsigned_next, gelu_shift=gelu_shift,
+    )
+    qout, qs3, lp = pl.pallas_call(
+        kernel,
+        grid=(m // bm, nj, k // bk),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bm), lambda i, j, kk: (j, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm, r), lambda i, j, kk: (j, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, n), jnp.int8),
+            jax.ShapeDtypeStruct((nj, 1, m), jnp.float32),
+            jax.ShapeDtypeStruct((nj, m, r), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k + 2 * m * n * r,
+            bytes_accessed=qact.nbytes + qweight.nbytes + m * n,
+            transcendentals=m * n,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return qout, qs3.reshape(nj, m), lp.sum(axis=0)
+
+
+def _pick_dim(dim, prefs):
+    for p in prefs:
+        if dim % p == 0:
+            return p
+    return dim
 
 
 @functools.partial(
@@ -333,14 +534,24 @@ def svdq_gemm_w4a4(
                 return p
         return dim
 
+    # grouped act scales (Ga, M) with Ga > 1: the fused requant chain's
+    # consumer — one scale group per k step (bk forced to the group size)
+    grouped_as = is_int8 and ascales.ndim == 2 and ascales.shape[0] > 1
+    if grouped_as:
+        if k % ascales.shape[0]:
+            raise ValueError(f"K={k} not divisible by {ascales.shape[0]} scale groups")
+        bk = k // ascales.shape[0]
+
     if is_int8 and bm is None and bn is None and bk is None:
         tuned = _TUNED_INT8.get((k, n))
         if tuned and m % min(tuned[0], m) == 0:
             bm, bn, bk = tuned
 
     if bm is None:
-        # w4a8 VMEM budget caps bm at 512 (in-kernel int8 rescale temps)
-        bm = _pick(m, (512, 256, 128) if is_w4a8 else (768, 512, 256, 128))
+        # w4a8 (in-kernel rescale temps) and grouped-as (forced large bk)
+        # VMEM budgets cap bm at 512
+        small_bm = is_w4a8 or grouped_as
+        bm = _pick(m, (512, 256, 128) if small_bm else (768, 512, 256, 128))
     if bn is None:
         bn = _pick(n, (1536, 1024, 512, 256, 128))
     if bk is None:
@@ -358,16 +569,27 @@ def svdq_gemm_w4a4(
     grid = (m // bm, n // bn, k // bk)
 
     if is_int8:
+        # grouped scales carry a singleton mid-axis so the (1, 1, bm) block
+        # satisfies Pallas' last-two-dims tiling constraint
+        as_spec = (
+            pl.BlockSpec((1, 1, bm), lambda i, j, kk: (kk, 0, i), memory_space=pltpu.VMEM)
+            if grouped_as
+            else pl.BlockSpec((1, bm), lambda i, j, kk: (0, i), memory_space=pltpu.VMEM)
+        )
         in_specs = [
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bm), lambda i, j, kk: (0, i), memory_space=pltpu.VMEM),
+            as_spec,
             pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
         ]
         kernel = functools.partial(
-            _gemm_w8a8_kernel, has_lora=has_lora, has_bias=has_bias, out_dtype=out_dtype
+            _gemm_w8a8_kernel, has_lora=has_lora, has_bias=has_bias,
+            out_dtype=out_dtype, grouped_as=grouped_as,
         )
-        inputs = [qact, ascales.astype(jnp.float32), qweight, wscales.astype(jnp.float32)]
+        asc = ascales.astype(jnp.float32)
+        if grouped_as:
+            asc = asc.reshape(asc.shape[0], 1, asc.shape[1])
+        inputs = [qact, asc, qweight, wscales.astype(jnp.float32)]
     elif is_w4a8:
         in_specs = [
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),

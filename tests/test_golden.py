@@ -1,0 +1,159 @@
+"""Golden quality tests: LPIPS machinery + engine-vs-16-bit-twin bounds.
+
+Mirrors the reference contract (tests/v1/flux/test_flux1_dev.py:20-135):
+deterministic seeds, quantized-vs-16-bit generation, LPIPS < budget * 1.10.
+The 16-bit reference here is the exact dequantized twin; real checkpoints
+activate via NUNCHAKU_TPU_CKPT_ROOT (tests skip — not vanish — without it).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from golden_utils import (
+    GOLDEN_PROMPTS,
+    LPIPS_BUDGETS,
+    hash_str_to_int,
+    latents_to_images,
+    require_checkpoints,
+)
+from nunchaku_tpu.metrics import compute_lpips
+from nunchaku_tpu.models.bf16_ref import dequantized_twin
+from nunchaku_tpu.models.linear import SVDQW4A4Linear
+from nunchaku_tpu.models.transformers.transformer_flux import (
+    FluxConfig,
+    FluxTransformer2DModel,
+)
+from nunchaku_tpu.pipeline.pipeline_flux import FluxPipeline
+
+TINY = FluxConfig(
+    num_layers=2, num_single_layers=2, num_attention_heads=2,
+    joint_attention_dim=512, pooled_projection_dim=256,
+)
+
+
+def test_seed_hash_matches_reference_algorithm():
+    # same algorithm as reference tests/utils.py:14-20 (31-polynomial mod 1e9+7)
+    assert hash_str_to_int("abc") == ((ord("a") * 31 + ord("b")) * 31 + ord("c")) % (10**9 + 7)
+    assert hash_str_to_int(GOLDEN_PROMPTS[0]) != hash_str_to_int(GOLDEN_PROMPTS[1])
+
+
+@pytest.mark.parametrize("precision", ["int4", "int8", "w4a8"])
+def test_twin_linear_bounds_engine_error(precision):
+    """Engine output vs the dequantized twin differs only by activation
+    quantization: relative error stays within the per-precision envelope."""
+    lin = SVDQW4A4Linear.random_init(
+        jax.random.PRNGKey(0), 512, 768, precision=precision
+    )
+    from nunchaku_tpu.models.bf16_ref import _twin_linear
+
+    twin = _twin_linear(lin)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 512), jnp.bfloat16)
+    y_eng = np.asarray(lin(x), np.float32)
+    y_ref = np.asarray(twin(x), np.float32)
+    err = np.linalg.norm(y_eng - y_ref) / np.linalg.norm(y_ref)
+    # int4 act-quant noise ~ few %, int8 sub-%; random weights are worst-case
+    assert err < (0.25 if precision == "int4" else 0.08), (precision, err)
+
+
+def test_twin_linear_unsigned_shift_fold():
+    """act_unsigned engine path == twin with the shift folded into bias."""
+    lin = SVDQW4A4Linear.random_init(
+        jax.random.PRNGKey(2), 512, 256, precision="int8", act_unsigned=True
+    )
+    from nunchaku_tpu.models.bf16_ref import _twin_linear
+
+    twin = _twin_linear(lin)
+    # gelu-like non-negative-ish input (what fc2 actually sees)
+    x = jax.nn.gelu(jax.random.normal(jax.random.PRNGKey(3), (32, 512))).astype(jnp.bfloat16)
+    y_eng = np.asarray(lin(x), np.float32)
+    y_ref = np.asarray(twin(x), np.float32)
+    err = np.linalg.norm(y_eng - y_ref) / np.linalg.norm(y_ref)
+    assert err < 0.08, err
+
+
+def _generate(pipe, prompt, steps=2, size=128):
+    seed = hash_str_to_int(prompt) % (2**31)
+    pe = jax.random.normal(
+        jax.random.PRNGKey(seed), (1, 64, TINY.joint_attention_dim), jnp.bfloat16
+    )
+    pool = jax.random.normal(
+        jax.random.PRNGKey(seed + 1), (1, TINY.pooled_projection_dim), jnp.bfloat16
+    )
+    out = pipe(
+        prompt_embeds=pe, pooled_prompt_embeds=pool,
+        height=size, width=size, num_inference_steps=steps, seed=seed,
+    )
+    return np.asarray(out.latents, np.float32)
+
+
+def test_golden_harness_end_to_end_smoke():
+    """Full golden pipeline on a tiny random model: generate with the
+    quantized engine and its 16-bit twin over the prompt set with hashed
+    seeds, decode to images, compute LPIPS, assert a budget. This is the
+    exact code path real checkpoints will take."""
+    model = FluxTransformer2DModel.random_init(jax.random.PRNGKey(0), TINY)
+    twin = dequantized_twin(model)
+    engine_pipe = FluxPipeline(model)
+    ref_pipe = FluxPipeline(twin)
+
+    gen, ref = [], []
+    for prompt in GOLDEN_PROMPTS[:2]:
+        gen.append(_generate(engine_pipe, prompt))
+        ref.append(_generate(ref_pipe, prompt))
+    gen_imgs = latents_to_images(np.concatenate(gen))
+    ref_imgs = latents_to_images(np.concatenate(ref))
+
+    score = compute_lpips(ref_imgs, gen_imgs)
+    mismatch = compute_lpips(ref_imgs, gen_imgs[::-1])
+    assert np.isfinite(score)
+    # engine-vs-twin must be far closer than unrelated images (metric sanity)
+    assert score < 0.5 * mismatch, (score, mismatch)
+    # smoke budget (random-feature LPIPS, random weights): generous but real
+    assert score < 0.2, score
+
+
+def test_lpips_metric_properties():
+    rng = np.random.default_rng(0)
+    a = rng.random((2, 64, 64, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.02, a.shape), 0, 1).astype(np.float32)
+    c = rng.random((2, 64, 64, 3)).astype(np.float32)
+    d_same = compute_lpips(a, a)
+    d_near = compute_lpips(a, b)
+    d_far = compute_lpips(a, c)
+    assert d_same < 1e-6
+    assert d_same < d_near < d_far
+
+
+@pytest.mark.parametrize("name,precision", [("flux.1-schnell", "int4"), ("flux.1-dev", "int4")])
+def test_golden_real_checkpoint(name, precision):
+    """Real-checkpoint golden test: activates when NUNCHAKU_TPU_CKPT_ROOT is
+    mounted (expects <root>/<name>.safetensors + <root>/ref_images/<name>/).
+    Thresholds: reference CI tables x 1.10 (BASELINE.md)."""
+    require_checkpoints()
+    import os
+
+    from golden_utils import CKPT_ROOT
+    from nunchaku_tpu.models.transformers.loader import load_flux_transformer
+
+    path = os.path.join(CKPT_ROOT, f"{name}.safetensors")
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not mounted")
+    model = load_flux_transformer(path)
+    pipe = FluxPipeline(model)
+    budget = LPIPS_BUDGETS[(name, precision)]
+    ref_dir = os.path.join(CKPT_ROOT, "ref_images", name)
+    if not os.path.isdir(ref_dir):
+        pytest.skip(f"{ref_dir} (16-bit reference images) not mounted")
+    # generation at full size + LPIPS vs mounted reference images
+    gen = [
+        _generate(pipe, p, steps=4 if "schnell" in name else 20, size=1024)
+        for p in GOLDEN_PROMPTS
+    ]
+    gen_imgs = latents_to_images(np.concatenate(gen))
+    ref_imgs = np.stack(
+        [np.load(os.path.join(ref_dir, f"{hash_str_to_int(p)}.npy")) for p in GOLDEN_PROMPTS]
+    )
+    score = compute_lpips(ref_imgs, gen_imgs)
+    assert score < budget * 1.10, (score, budget)

@@ -172,3 +172,44 @@ class TestW4A8:
         e48 = float(jnp.linalg.norm(o48 - ref) / jnp.linalg.norm(ref))
         e4 = float(jnp.linalg.norm(o4 - ref) / jnp.linalg.norm(ref))
         assert e48 <= e4 * 1.05, (e48, e4)
+
+
+class TestGeluQuantChain:
+    """Fused GELU_QUANT chain (reference src/Linear.cpp:270-438): producer
+    GEMM emits the consumer's int8 activations + grouped scales + lora_act;
+    the pair must match the unfused fc1 -> XLA gelu -> quantize -> fc2 path."""
+
+    @pytest.mark.parametrize("act_unsigned", [False, True])
+    def test_chain_matches_unfused(self, act_unsigned):
+        from nunchaku_tpu.models.attention import _can_chain, gelu_mlp
+        from nunchaku_tpu.models.linear import SVDQW4A4Linear
+
+        fc1 = SVDQW4A4Linear.random_init(jax.random.PRNGKey(0), 512, 1024, precision="int8")
+        fc2 = SVDQW4A4Linear.random_init(
+            jax.random.PRNGKey(1), 1024, 512, precision="int8", act_unsigned=act_unsigned
+        )
+        fc2.smooth = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (1024,), jnp.bfloat16)) + 0.5
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 512), jnp.bfloat16)
+        assert _can_chain(fc1, fc2)
+        fused = np.asarray(gelu_mlp(fc1, fc2, x), np.float32)
+        h = fc1(x)
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=True)
+        ref = np.asarray(fc2(h.astype(jnp.bfloat16)), np.float32)
+        err = np.linalg.norm(fused - ref) / np.linalg.norm(ref)
+        # grouped (finer) scales differ slightly from per-token scales
+        assert err < 0.03, err
+
+    def test_grouped_scale_consumer_matches_per_token(self):
+        """The grouped-as int8 GEMM with replicated groups == per-token path."""
+        from nunchaku_tpu.ops.gemm import svdq_gemm_w4a4
+
+        rng = np.random.default_rng(0)
+        m, k, n = 256, 512, 256
+        qa = jnp.asarray(rng.integers(-127, 128, (m, k)), jnp.int8)
+        asc = jnp.asarray(rng.random((1, m)) * 0.01 + 0.001, jnp.float32)
+        qw = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+        ws = jnp.asarray(rng.random((1, n)) * 0.01 + 0.001, jnp.float32)
+        ref = np.asarray(svdq_gemm_w4a4(qa, asc, qw, ws, precision="int8"), np.float32)
+        grouped = jnp.tile(asc, (2, 1))  # 2 identical k-groups of 256
+        out = np.asarray(svdq_gemm_w4a4(qa, grouped, qw, ws, precision="int8"), np.float32)
+        np.testing.assert_allclose(out, ref, rtol=2e-2, atol=1e-4)
