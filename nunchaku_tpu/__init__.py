@@ -11,6 +11,7 @@ Public surface (reference parity: nunchaku/__init__.py:1-17):
   * FluxTransformer2DModel + load_flux_transformer (NunchakuFluxTransformer2dModel)
   * T5EncoderModel / load_t5_encoder (NunchakuT5EncoderModel)
   * AutoencoderKL / load_autoencoder
+  * ZImageTransformer2DModel + load_zimage_transformer (NunchakuZImageTransformer2DModel)
   * FluxPipeline, apply_cache_on_pipe (caching/diffusers_adapters)
   * update_lora_params, set_lora_strength, compose_lora
 """
@@ -22,7 +23,9 @@ from .models.linear import AWQW4A16Linear, SVDQW4A4Linear
 from .models.text_encoders.clip import CLIPTextModel, load_clip_text
 from .models.text_encoders.t5 import T5EncoderModel, load_t5_encoder
 from .models.transformers.loader import load_flux_transformer
+from .models.transformers.loader_zimage import load_zimage_transformer
 from .models.transformers.transformer_flux import FluxConfig, FluxTransformer2DModel
+from .models.transformers.transformer_zimage import ZImageConfig, ZImageTransformer2DModel
 from .pipeline.pipeline_flux import FluxPipeline, apply_cache_on_pipe
 from .lora.flux.apply import set_lora_strength, update_lora_params
 from .lora.flux.convert import compose_lora
@@ -44,4 +47,7 @@ __all__ = [
     "load_t5_encoder",
     "set_lora_strength",
     "update_lora_params",
+    "ZImageConfig",
+    "ZImageTransformer2DModel",
+    "load_zimage_transformer",
 ]
