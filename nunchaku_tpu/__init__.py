@@ -12,6 +12,7 @@ Public surface (reference parity: nunchaku/__init__.py:1-17):
   * T5EncoderModel / load_t5_encoder (NunchakuT5EncoderModel)
   * AutoencoderKL / load_autoencoder
   * ZImageTransformer2DModel + load_zimage_transformer (NunchakuZImageTransformer2DModel)
+  * SDXLUNet2DConditionModel + load_sdxl_unet (NunchakuSDXLUNet2DConditionModel)
   * FluxPipeline, apply_cache_on_pipe (caching/diffusers_adapters)
   * update_lora_params, set_lora_strength, compose_lora
 """
@@ -23,6 +24,7 @@ from .models.linear import AWQW4A16Linear, SVDQW4A4Linear
 from .models.text_encoders.clip import CLIPTextModel, load_clip_text
 from .models.text_encoders.t5 import T5EncoderModel, load_t5_encoder
 from .models.transformers.loader import load_flux_transformer
+from .models.unets.unet_sdxl import SDXLConfig, SDXLUNet2DConditionModel, load_sdxl_unet
 from .models.transformers.loader_zimage import load_zimage_transformer
 from .models.transformers.transformer_flux import FluxConfig, FluxTransformer2DModel
 from .models.transformers.transformer_zimage import ZImageConfig, ZImageTransformer2DModel
@@ -50,4 +52,7 @@ __all__ = [
     "ZImageConfig",
     "ZImageTransformer2DModel",
     "load_zimage_transformer",
+    "SDXLConfig",
+    "SDXLUNet2DConditionModel",
+    "load_sdxl_unet",
 ]

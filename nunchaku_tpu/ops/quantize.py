@@ -31,7 +31,9 @@ from ..core.packing import pack_int4
 from .reference import GROUP_FP4, GROUP_INT4, GELU_SHIFT
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "act_unsigned", "fuse_glu"))
+@functools.partial(
+    jax.jit, static_argnames=("precision", "act_unsigned", "fuse_glu", "glu_act")
+)
 def quantize_w4a4_act_fuse_lora(
     x: jnp.ndarray,
     proj_down: jnp.ndarray,
@@ -40,23 +42,25 @@ def quantize_w4a4_act_fuse_lora(
     precision: str = "int4",
     act_unsigned: bool = False,
     fuse_glu: bool = False,
+    glu_act: str = "silu",
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Quantize (M, K) activations; return (qact, ascales_t, lora_act).
 
     ``fuse_glu`` mirrors the reference's GLU fusion: the input is (M, 2K)
-    laid out [gate, up] and the quantized value is ``silu(gate) * up``
-    (used by SANA's GLUMBConv path).
+    laid out [value, gate] and the quantized value is ``value * act(gate)``
+    (SANA GLUMBConv / Z-Image SwiGLU use silu; SDXL's GEGLU uses gelu —
+    ``glu_act`` selects, matching diffusers' SwiGLU/GEGLU chunk order).
     """
     if fuse_glu:
-        # diffusers GLUMBConv convention: value = x1 * silu(x2) over split
+        # diffusers GLUMBConv convention: value = x1 * act(x2) over split
         # halves (the reference kernel uses interleaved pairs,
         # gemm_base.cuh:622 — its converter pre-interleaves the weights;
         # ours keeps half-split and reorders at load instead)
         k2 = x.shape[-1] // 2
         hidden, gate = x[..., :k2], x[..., k2:]
-        x = (hidden.astype(jnp.float32) * jax.nn.silu(gate.astype(jnp.float32))).astype(
-            x.dtype
-        )
+        gf = gate.astype(jnp.float32)
+        act = jax.nn.silu(gf) if glu_act == "silu" else jax.nn.gelu(gf, approximate=True)
+        x = (hidden.astype(jnp.float32) * act).astype(x.dtype)
 
     m, k = x.shape
     lora_act = jnp.dot(
