@@ -13,6 +13,8 @@ Public surface (reference parity: nunchaku/__init__.py:1-17):
   * AutoencoderKL / load_autoencoder
   * ZImageTransformer2DModel + load_zimage_transformer (NunchakuZImageTransformer2DModel)
   * SDXLUNet2DConditionModel + load_sdxl_unet (NunchakuSDXLUNet2DConditionModel)
+  * SanaTransformer2DModel + load_sana_transformer (NunchakuSanaTransformer2DModel)
+  * QwenImageTransformer2DModel + load_qwenimage_transformer + QwenImagePipeline
   * FluxPipeline, apply_cache_on_pipe (caching/diffusers_adapters)
   * update_lora_params, set_lora_strength, compose_lora
 """
@@ -25,7 +27,15 @@ from .models.text_encoders.clip import CLIPTextModel, load_clip_text
 from .models.text_encoders.t5 import T5EncoderModel, load_t5_encoder
 from .models.transformers.loader import load_flux_transformer
 from .models.unets.unet_sdxl import SDXLConfig, SDXLUNet2DConditionModel, load_sdxl_unet
+from .models.transformers.loader_qwenimage import load_qwenimage_transformer
+from .models.transformers.loader_sana import load_sana_transformer
 from .models.transformers.loader_zimage import load_zimage_transformer
+from .models.transformers.transformer_qwenimage import (
+    QwenImageConfig,
+    QwenImageTransformer2DModel,
+)
+from .models.transformers.transformer_sana import SanaConfig, SanaTransformer2DModel
+from .pipeline.pipeline_qwenimage import QwenImagePipeline
 from .models.transformers.transformer_flux import FluxConfig, FluxTransformer2DModel
 from .models.transformers.transformer_zimage import ZImageConfig, ZImageTransformer2DModel
 from .pipeline.pipeline_flux import FluxPipeline, apply_cache_on_pipe
@@ -55,4 +65,11 @@ __all__ = [
     "SDXLConfig",
     "SDXLUNet2DConditionModel",
     "load_sdxl_unet",
+    "SanaConfig",
+    "SanaTransformer2DModel",
+    "load_sana_transformer",
+    "QwenImageConfig",
+    "QwenImageTransformer2DModel",
+    "QwenImagePipeline",
+    "load_qwenimage_transformer",
 ]

@@ -44,6 +44,12 @@ class QwenImageConfig:
     def dim(self) -> int:
         return self.num_attention_heads * self.attention_head_dim
 
+    @property
+    def proj_out_channels(self) -> int:
+        # packed 2x2 patches: proj_out emits patch_size^2 * out_channels
+        # (diffusers QwenImageTransformer2DModel proj_out)
+        return self.out_channels * 4
+
     def as_flux(self) -> FluxConfig:
         return FluxConfig(
             num_layers=self.num_layers,
@@ -62,7 +68,8 @@ class QwenImageConfig:
 
 
 class QwenImageTransformer2DModel(Module):
-    def __init__(self, cfg, img_in, txt_in, time_embed, blocks, norm_out, proj_out):
+    def __init__(self, cfg, img_in, txt_in, time_embed, blocks, norm_out, proj_out,
+                 txt_norm=None):
         self.cfg = cfg
         self.img_in = img_in
         self.txt_in = txt_in
@@ -70,6 +77,9 @@ class QwenImageTransformer2DModel(Module):
         self.blocks = blocks  # stacked FluxTransformerBlock (Qwen == joint MMDiT)
         self.norm_out = norm_out
         self.proj_out = proj_out
+        # model-level RMSNorm on the raw text states (reference
+        # transformer_qwenimage.py:505 txt_norm before txt_in)
+        self.txt_norm = txt_norm
 
     @classmethod
     def random_init(cls, key, cfg: QwenImageConfig):
@@ -88,7 +98,7 @@ class QwenImageTransformer2DModel(Module):
             MLPEmbedder.random_init(ks[3], 256, cfg.dim),
             blocks,
             AdaLayerNormContinuous.random_init(ks[4], cfg.dim),
-            Linear.random_init(ks[5], cfg.dim, cfg.out_channels),
+            Linear.random_init(ks[5], cfg.dim, cfg.proj_out_channels),
         )
 
     def __call__(
@@ -103,6 +113,12 @@ class QwenImageTransformer2DModel(Module):
 
         cfg = self.cfg
         img = self.img_in(hidden_states).astype(jnp.float32)
+        if self.txt_norm is not None:
+            from ...ops.reference import rmsnorm
+
+            encoder_hidden_states = rmsnorm(
+                encoder_hidden_states, self.txt_norm
+            ).astype(encoder_hidden_states.dtype)
         txt = self.txt_in(encoder_hidden_states).astype(jnp.float32)
         temb = self.time_embed(timestep_embedding(timestep * 1000.0, 256)).astype(
             jnp.bfloat16

@@ -1,0 +1,108 @@
+"""Qwen-Image text-to-image pipeline (diffusers-compatible surface).
+
+Counterpart of the diffusers QwenImagePipeline the reference plugs its
+NunchakuQwenImageTransformer2DModel into (examples/v1/qwen-image.py): flow-
+match Euler schedule with Qwen's static shift, true classifier-free
+guidance (two transformer evals per step against negative prompt embeds —
+Qwen has no guidance embedding), and the Lightning presets (reference
+tests/v1/qwenimage/*lightning*: distilled checkpoints run 4/8 steps with
+cfg 1.0).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .pipeline_flux import make_img_ids, pack_latents, unpack_latents
+from .scheduler import euler_step, flux_sigmas
+
+# Lightning-distilled checkpoints: fixed few-step recipes (reference
+# tests/v1/qwenimage/test_qwenimage_edit_2509_lightning.py presets)
+LIGHTNING_PRESETS = {
+    "lightning-4step": dict(num_inference_steps=4, true_cfg_scale=1.0),
+    "lightning-8step": dict(num_inference_steps=8, true_cfg_scale=1.0),
+}
+
+
+@dataclass
+class QwenImagePipelineOutput:
+    images: jnp.ndarray | None
+    latents: jnp.ndarray
+
+
+class QwenImagePipeline:
+    def __init__(self, transformer, vae=None, text_encoder=None, tokenizer=None):
+        self.transformer = transformer
+        self.vae = vae
+        self.text_encoder = text_encoder  # Qwen2.5-VL adapter
+        self.tokenizer = tokenizer
+
+    def __call__(
+        self,
+        prompt_embeds: jnp.ndarray,  # (B, S_txt, joint_dim)
+        negative_prompt_embeds: jnp.ndarray | None = None,
+        height: int = 1024,
+        width: int = 1024,
+        num_inference_steps: int = 20,
+        true_cfg_scale: float = 4.0,
+        seed: int = 0,
+        latents: jnp.ndarray | None = None,
+        lightning: str | None = None,  # "lightning-4step" | "lightning-8step"
+    ) -> QwenImagePipelineOutput:
+        if lightning is not None:
+            preset = LIGHTNING_PRESETS[lightning]
+            num_inference_steps = preset["num_inference_steps"]
+            true_cfg_scale = preset["true_cfg_scale"]
+        model = self.transformer
+        cfg = model.cfg
+        b = prompt_embeds.shape[0]
+        lh, lw = height // 8, width // 8
+        s_img = (lh // 2) * (lw // 2)
+
+        if latents is None:
+            lat = jax.random.normal(
+                jax.random.PRNGKey(seed), (b, cfg.in_channels // 4, lh, lw), jnp.float32
+            )
+            latents = pack_latents(lat).astype(jnp.bfloat16)
+
+        img_ids = make_img_ids(lh // 2, lw // 2)
+        sigmas = flux_sigmas(num_inference_steps, image_seq_len=s_img)
+        sig_pairs = jnp.stack([jnp.asarray(sigmas[:-1]), jnp.asarray(sigmas[1:])], axis=1)
+        use_cfg = negative_prompt_embeds is not None and true_cfg_scale > 1.0
+        neg = negative_prompt_embeds if use_cfg else prompt_embeds
+
+        lat_f, = _denoise(
+            model, latents.astype(jnp.float32), prompt_embeds, neg, img_ids,
+            sig_pairs, cfg_scale=float(true_cfg_scale), use_cfg=use_cfg,
+        )
+        latents = lat_f.astype(jnp.bfloat16)
+        images = None
+        if self.vae is not None:
+            z = unpack_latents(latents, lh, lw).astype(jnp.bfloat16)
+            images = self.vae.decode(z)
+        return QwenImagePipelineOutput(images=images, latents=latents)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg_scale", "use_cfg"), donate_argnums=(1,))
+def _denoise(model, lat0, pe, npe, img_ids, sig_pairs, *, cfg_scale, use_cfg):
+    b = lat0.shape[0]
+
+    def one_step(lat, sig, sig_next):
+        t = jnp.full((b,), sig, jnp.float32)
+        x = lat.astype(jnp.bfloat16)
+        vel = model(x, pe, t, img_ids)
+        if use_cfg:
+            vel_neg = model(x, npe, t, img_ids)
+            vel = vel_neg + cfg_scale * (vel - vel_neg)
+        return euler_step(lat, vel, sig, sig_next)
+
+    def body(lat, sig):
+        return one_step(lat, sig[0], sig[1]), None
+
+    lat, _ = jax.lax.scan(body, lat0, sig_pairs)
+    return (lat,)

@@ -26,5 +26,5 @@ def test_forward():
         jnp.array([0.5], jnp.float32),
         jnp.asarray(ii),
     )
-    assert out.shape == (B, S_img, cfg.out_channels)
+    assert out.shape == (B, S_img, cfg.proj_out_channels)
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())

@@ -101,3 +101,125 @@ def test_sana_pipeline(model):
     )
     assert out.latents.shape == (1, 32, 8, 8)
     assert bool(jnp.isfinite(out.latents.astype(jnp.float32)).all())
+
+
+# ---------------------------------------------------------------------------
+# synthesized v1-format SANA checkpoint -> loader round trip
+# ---------------------------------------------------------------------------
+
+def _sana_svdq(key, k, n, seed, rank=16, bias=True):
+    import ml_dtypes
+    from nunchaku_tpu.utils import nunchaku_format as NF
+
+    r = np.random.default_rng(seed)
+    vals = r.integers(-8, 8, (n, k)).astype(np.int8)
+    ws = r.random((k // 64, n)).astype(np.float32) * 0.01 + 0.001
+    smooth = r.random(k).astype(np.float32) + 0.5
+    ld = (r.standard_normal((rank, k)) * 0.02).astype(np.float32)
+    lu = (r.standard_normal((n, rank)) * 0.02).astype(np.float32)
+    bf = lambda a: a.astype(ml_dtypes.bfloat16)
+    t = {
+        f"{key}.qweight": NF.pack_weight_int4(vals),
+        f"{key}.wscales": bf(NF.pack_scale_ref(ws)),
+        f"{key}.smooth": bf(smooth),
+        f"{key}.lora_down": bf(NF.pack_lowrank_weight_ref(ld, down=True)),
+        f"{key}.lora_up": bf(NF.pack_lowrank_weight_ref(lu, down=False)),
+    }
+    if bias:
+        t[f"{key}.bias"] = bf((r.standard_normal(n) * 0.01).astype(np.float32))
+    return t
+
+
+def _sana_linear(key, k, n, seed):
+    import ml_dtypes
+
+    r = np.random.default_rng(seed)
+    return {
+        f"{key}.weight": (r.standard_normal((n, k)) * 0.02).astype(ml_dtypes.bfloat16),
+        f"{key}.bias": (r.standard_normal(n) * 0.01).astype(ml_dtypes.bfloat16),
+    }
+
+
+def _build_sana_ckpt(tmp_path, pag_layers=(1,)):
+    import json
+    import ml_dtypes
+    from nunchaku_tpu.utils.safetensors import save_safetensors
+
+    DIM, LAYERS, HID = 512, 2, 1280
+    t = {}
+    for i in range(LAYERS):
+        p = f"transformer_blocks.{i}"
+        t |= _sana_svdq(f"{p}.attn.qkv_proj", DIM, 3 * DIM, 10 + i, bias=False)
+        t |= _sana_svdq(f"{p}.attn.out_proj", DIM, DIM, 20 + i, bias=False)
+        if i in pag_layers:
+            t |= _sana_svdq(f"{p}.attn.pag_to_v", DIM, DIM, 30 + i, bias=False)
+        t |= _sana_svdq(f"{p}.cross_attn.q_linear", DIM, DIM, 40 + i)
+        t |= _sana_linear(f"{p}.cross_attn.kv_linear", DIM, 2 * DIM, 50 + i)
+        t |= _sana_svdq(f"{p}.cross_attn.out_proj", DIM, DIM, 60 + i)
+        t |= _sana_svdq(f"{p}.ff.inverted_conv", DIM, 2 * HID, 70 + i)
+        r = np.random.default_rng(80 + i)
+        t[f"{p}.ff.depth_conv.weight"] = (r.standard_normal((2 * HID, 1, 3, 3)) * 0.1).astype(ml_dtypes.bfloat16)
+        t[f"{p}.ff.depth_conv.bias"] = (r.standard_normal(2 * HID) * 0.01).astype(ml_dtypes.bfloat16)
+        t |= _sana_svdq(f"{p}.ff.point_conv", HID, DIM, 90 + i, bias=False)
+        t[f"{p}.scale_shift_table"] = (np.random.default_rng(100 + i).standard_normal((6, DIM)) * 0.02).astype(np.float32)
+    # unquantized diffusers part
+    r = np.random.default_rng(0)
+    t["patch_embed.proj.weight"] = (r.standard_normal((DIM, 32, 1, 1)) * 0.02).astype(ml_dtypes.bfloat16)
+    t["patch_embed.proj.bias"] = (r.standard_normal(DIM) * 0.01).astype(ml_dtypes.bfloat16)
+    t |= _sana_linear("caption_projection.linear_1", 1152, DIM, 200)
+    t |= _sana_linear("caption_projection.linear_2", DIM, DIM, 201)
+    t |= _sana_linear("adaln_single.emb.timestep_embedder.linear_1", 256, DIM, 202)
+    t |= _sana_linear("adaln_single.emb.timestep_embedder.linear_2", DIM, DIM, 203)
+    t |= _sana_linear("adaln_single.linear", DIM, 6 * DIM, 204)
+    t["scale_shift_table"] = (r.standard_normal((2, DIM)) * 0.02).astype(np.float32)
+    t |= _sana_linear("proj_out", DIM, 32, 205)
+    config = {
+        "num_layers": LAYERS, "num_attention_heads": 16, "attention_head_dim": 32,
+        "num_cross_attention_heads": 4, "cross_attention_head_dim": 128,
+        "caption_channels": 1152, "in_channels": 32, "out_channels": 32,
+        "expand_ratio": 2.5,
+    }
+    qcfg = {"weight": {"dtype": "int4", "group_size": 64}, "rank": 16,
+            "pag_layers": list(pag_layers)}
+    path = tmp_path / "sana-tiny.safetensors"
+    save_safetensors(path, t, {"config": json.dumps(config),
+                               "quantization_config": json.dumps(qcfg)})
+    return path
+
+
+@pytest.mark.parametrize("precision", [None, "int8"])
+def test_sana_load_and_run(tmp_path, precision):
+    from nunchaku_tpu.models.transformers.loader_sana import load_sana_transformer
+
+    path = _build_sana_ckpt(tmp_path)
+    model = load_sana_transformer(path, precision=precision)
+    assert model.cfg.num_layers == 2 and model.cfg.dim == 512
+    B, S_img, S_txt = 1, 256, 64
+    out = jax.jit(lambda m, *a: m(*a))(
+        model,
+        jax.random.normal(jax.random.PRNGKey(1), (B, S_img, 32), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(2), (B, S_txt, 1152), jnp.bfloat16),
+        jnp.full((B,), 0.5, jnp.float32),
+    )
+    assert out.shape == (B, S_img, 32)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_sana_load_pag_forward(tmp_path):
+    """PAG layers load (pag_to_v present on a subset) and the perturbed
+    forward differs from the normal one."""
+    from nunchaku_tpu.models.transformers.loader_sana import load_sana_transformer
+
+    path = _build_sana_ckpt(tmp_path, pag_layers=(1,))
+    model = load_sana_transformer(path)
+    B, S_img, S_txt = 1, 256, 64
+    args = (
+        jax.random.normal(jax.random.PRNGKey(1), (B, S_img, 32), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(2), (B, S_txt, 1152), jnp.bfloat16),
+        jnp.full((B,), 0.5, jnp.float32),
+    )
+    base = np.asarray(jax.jit(lambda m, *a: m(*a))(model, *args), np.float32)
+    pag = np.asarray(
+        jax.jit(lambda m, *a: m(*a, pag=True))(model, *args), np.float32
+    )
+    assert np.linalg.norm(base - pag) / np.linalg.norm(base) > 1e-3
