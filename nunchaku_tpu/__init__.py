@@ -23,7 +23,14 @@ __version__ = "0.1.0"
 
 from .models.autoencoder import AutoencoderKL, load_autoencoder
 from .models.linear import AWQW4A16Linear, SVDQW4A4Linear
-from .models.text_encoders.clip import CLIPTextModel, load_clip_text
+from .models.text_encoders.clip import (
+    CLIPTextModel,
+    CLIPVisionModel,
+    load_clip_text,
+    load_clip_vision,
+    preprocess_clip_image,
+)
+from .models.ip_adapter.flux import FluxIPAdapter, load_flux_ip_adapter
 from .models.text_encoders.t5 import T5EncoderModel, load_t5_encoder
 from .models.transformers.loader import load_flux_transformer
 from .models.unets.unet_sdxl import SDXLConfig, SDXLUNet2DConditionModel, load_sdxl_unet
@@ -55,6 +62,11 @@ __all__ = [
     "compose_lora",
     "load_autoencoder",
     "load_clip_text",
+    "load_clip_vision",
+    "preprocess_clip_image",
+    "CLIPVisionModel",
+    "FluxIPAdapter",
+    "load_flux_ip_adapter",
     "load_flux_transformer",
     "load_t5_encoder",
     "set_lora_strength",

@@ -17,7 +17,11 @@ import jax
 import jax.numpy as jnp
 
 from ..core.module import Module
-from ..ops.attention import flash_attention, flash_attention_bshd
+from ..ops.attention import (
+    block_sparse_attention,
+    flash_attention,
+    flash_attention_bshd,
+)
 from ..ops.gemm import svdq_gemm_w8a8_gelu_quant
 from ..ops.reference import GELU_SHIFT, rmsnorm
 from .embeddings import apply_rope
@@ -96,6 +100,10 @@ class FluxAttention(Module):
         self.head_dim = head_dim
         # set by parallel.tp.parallelize(): mesh axis for row-parallel psum
         self.tp_axis = None
+        # >0 enables the block-sparse high-res path (static: changes shapes).
+        # Set via FluxTransformer2DModel.set_attention_impl; reference
+        # Attention::forward(qkv, pool_qkv, sparsityRatio), FluxModel.cpp:130.
+        self.sparsity_ratio = 0.0
 
     @classmethod
     def random_init(cls, key, dim, heads, head_dim, joint=True, rank=32, precision="int4"):
@@ -121,6 +129,11 @@ class FluxAttention(Module):
             return jax.lax.psum(x, self.tp_axis)
         return x
 
+    def _attend(self, q, k, v):
+        if getattr(self, "sparsity_ratio", 0.0) > 0.0:
+            return block_sparse_attention(q, k, v, sparsity_ratio=self.sparsity_ratio)
+        return flash_attention(q, k, v)
+
     def __call__(self, hidden, encoder_hidden=None, rot=None, ip_kv=None):
         """Dual: returns (img_attn_out, txt_attn_out[, ip_attn_out]).
         Single: raw attn (B,S,HD). ``ip_kv = (k_ip, v_ip)`` each (B, S_ip, HD)
@@ -131,7 +144,7 @@ class FluxAttention(Module):
         heads_local = qkv.shape[-1] // 3 // self.head_dim
         if encoder_hidden is None:
             q, k, v = qkv_norm_rope(qkv, self.head_dim, self.norm_q, self.norm_k, rot)
-            o = flash_attention(q, k, v)
+            o = self._attend(q, k, v)
             return o.transpose(0, 2, 1, 3).reshape(b, s_img, -1)
 
         s_txt = encoder_hidden.shape[1]
@@ -145,7 +158,7 @@ class FluxAttention(Module):
         q = jnp.concatenate([q_t, q_i], axis=2)
         k = jnp.concatenate([k_t, k_i], axis=2)
         v = jnp.concatenate([v_t, v_i], axis=2)
-        o = flash_attention(q, k, v)
+        o = self._attend(q, k, v)
         o = o.transpose(0, 2, 1, 3).reshape(b, s_txt + s_img, -1)
         txt_o, img_o = o[:, :s_txt], o[:, s_txt:]
         # to_out / to_add_out are row-parallel under TP: partial sums reduce

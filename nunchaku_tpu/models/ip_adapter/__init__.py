@@ -1,0 +1,8 @@
+from .flux import (
+    FluxIPAdapter,
+    ImageProjection,
+    ipa_forward,
+    load_flux_ip_adapter,
+)
+
+__all__ = ["FluxIPAdapter", "ImageProjection", "ipa_forward", "load_flux_ip_adapter"]

@@ -220,6 +220,31 @@ class FluxTransformer2DModel(Module):
         )
         return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
+    def set_attention_impl(self, impl: str = "flashattn2", *, sparsity_ratio: float = 0.0):
+        """Select the attention path (reference set_attention_impl,
+        nunchaku/models/transformers/transformer_flux.py:648 + the C++
+        sparsityRatio forward arg, src/FluxModel.cpp:130).
+
+        - ``"flashattn2"`` / ``"nunchaku-fp16"``: the dense Pallas flash
+          kernel (one kernel covers both reference impls on TPU).
+        - ``"blocksparse"``: pooled top-k block-sparse attention for
+          high-resolution inputs; ``sparsity_ratio`` in (0, 1) is the
+          fraction of 128-token kv blocks each query block skips.
+
+        Static setting — changes trace shapes, so flip it before jit.
+        """
+        if impl in ("flashattn2", "nunchaku-fp16"):
+            ratio = 0.0
+        elif impl == "blocksparse":
+            if not 0.0 < sparsity_ratio < 1.0:
+                raise ValueError("blocksparse needs 0 < sparsity_ratio < 1")
+            ratio = float(sparsity_ratio)
+        else:
+            raise ValueError(f"unknown attention impl: {impl!r}")
+        self.transformer_blocks.attn.sparsity_ratio = ratio
+        self.single_transformer_blocks.attn.sparsity_ratio = ratio
+        return self
+
     # -- composable stages (the caching subsystem splits the graph here) ----
     def embed(
         self, hidden_states, encoder_hidden_states, pooled_projections,

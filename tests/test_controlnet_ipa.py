@@ -66,3 +66,43 @@ def test_ip_adapter_conditions(model):
     assert out.shape == base.shape
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
     assert not np.allclose(np.asarray(base, np.float32), np.asarray(out, np.float32))
+
+
+def test_ipa_xlabs_loader_and_projection():
+    """Synthesized XLabs flux-ip-adapter checkpoint: key schema of
+    reference load_ip_adapter_weights_per_layer (utils.py:417-430) plus the
+    diffusers ImageProjection; loaded projections match manual math."""
+    import numpy as np
+
+    from nunchaku_tpu.models.ip_adapter.flux import load_flux_ip_adapter
+
+    rng = np.random.default_rng(7)
+    L, cross, inner, embed, T = 3, 64, 48, 32, 4
+    sd = {}
+    for i in range(L):
+        base = f"double_blocks.{i}.processor.ip_adapter_double_stream"
+        sd[f"{base}_k_proj.weight"] = rng.normal(size=(inner, cross)).astype(np.float32) * 0.05
+        sd[f"{base}_k_proj.bias"] = rng.normal(size=(inner,)).astype(np.float32) * 0.05
+        sd[f"{base}_v_proj.weight"] = rng.normal(size=(inner, cross)).astype(np.float32) * 0.05
+        sd[f"{base}_v_proj.bias"] = rng.normal(size=(inner,)).astype(np.float32) * 0.05
+    sd["image_proj.proj.weight"] = rng.normal(size=(T * cross, embed)).astype(np.float32) * 0.05
+    sd["image_proj.proj.bias"] = rng.normal(size=(T * cross,)).astype(np.float32) * 0.05
+    sd["image_proj.norm.weight"] = np.ones((cross,), np.float32)
+    sd["image_proj.norm.bias"] = np.zeros((cross,), np.float32)
+
+    ipa = load_flux_ip_adapter(sd, scale=0.8)
+    assert ipa.image_proj.num_tokens == T
+
+    emb = rng.normal(size=(2, embed)).astype(np.float32)
+    k_ip, v_ip = ipa.project(jnp.asarray(emb, jnp.bfloat16))
+    assert k_ip.shape == (L, 2, T, inner) and v_ip.shape == (L, 2, T, inner)
+
+    # manual reference: proj -> reshape -> layernorm -> k/v linear
+    x = emb @ sd["image_proj.proj.weight"].T + sd["image_proj.proj.bias"]
+    x = x.reshape(2, T, cross)
+    x = (x - x.mean(-1, keepdims=True)) / np.sqrt(x.var(-1, keepdims=True) + 1e-5)
+    ref_k = x @ sd["double_blocks.1.processor.ip_adapter_double_stream_k_proj.weight"].T \
+        + sd["double_blocks.1.processor.ip_adapter_double_stream_k_proj.bias"]
+    got = np.asarray(k_ip[1], np.float32)
+    err = np.abs(got - ref_k).max() / (np.abs(ref_k).max() + 1e-9)
+    assert err < 0.05, err

@@ -69,3 +69,21 @@ def test_state_dict_roundtrip(model):
     model.load_state_dict({key: sd[key] * 0}, partial=True)
     assert float(jnp.abs(model.transformer_blocks.attn.to_qkv.proj_up).sum()) == 0.0
     model.load_state_dict(sd, partial=False)
+
+
+def test_blocksparse_attention_impl(model):
+    """set_attention_impl('blocksparse') runs and approximates dense at low
+    sparsity (reference Attention::forward(qkv, pool_qkv, sparsityRatio))."""
+    args = _inputs(S_img=256, S_txt=128)  # 3 kv blocks
+    dense = model(*args)
+    model.set_attention_impl("blocksparse", sparsity_ratio=0.3)
+    try:
+        sparse = model(*args)
+    finally:
+        model.set_attention_impl("flashattn2")
+    assert sparse.shape == dense.shape
+    assert bool(jnp.all(jnp.isfinite(sparse.astype(jnp.float32))))
+    # 0.3 over 3 blocks keeps 2/3 of kv — outputs correlated with dense
+    d, s = dense.astype(jnp.float32).ravel(), sparse.astype(jnp.float32).ravel()
+    corr = jnp.corrcoef(jnp.stack([d, s]))[0, 1]
+    assert corr > 0.7, float(corr)

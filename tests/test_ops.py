@@ -12,7 +12,13 @@ import pytest
 
 from nunchaku_tpu.core.packing import pack_int4
 from nunchaku_tpu.ops import reference as R
-from nunchaku_tpu.ops.attention import flash_attention, sdpa_reference
+from nunchaku_tpu.ops.attention import (
+    block_sparse_attention,
+    block_sparse_reference,
+    flash_attention,
+    sdpa_reference,
+    select_blocks,
+)
 from nunchaku_tpu.ops.gemm import svdq_gemm_w4a4
 from nunchaku_tpu.ops.gemv import awq_w4a16_linear
 from nunchaku_tpu.ops.quantize import quantize_w4a4_act_fuse_lora
@@ -140,6 +146,39 @@ class TestFlashAttention:
         k = jnp.asarray(rng.normal(size=(1, 2, skv, 128)), jnp.bfloat16)
         v = jnp.asarray(rng.normal(size=(1, 2, skv, 128)), jnp.bfloat16)
         out = flash_attention(q, k, v, bq=256, bkv=256)
+        ref = sdpa_reference(q, k, v)
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+        assert err < 0.05, err
+
+
+class TestBlockSparseAttention:
+    """vs masked-dense oracle (reference mha_fwd_block semantics,
+    src/FluxModel.cpp:130-267)."""
+
+    @pytest.mark.parametrize(
+        "s,skv,ratio,bq,bkv",
+        [(640, 640, 0.4, 128, 128), (512, 500, 0.5, 128, 128),
+         (1024, 1024, 0.5, 256, 256)],
+    )
+    def test_vs_masked_oracle(self, s, skv, ratio, bq, bkv):
+        q = jnp.asarray(rng.normal(size=(1, 2, s, 128)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(1, 2, skv, 128)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(1, 2, skv, 128)), jnp.bfloat16)
+        idx = select_blocks(q, k, ratio, bq=bq, bkv=bkv)
+        nk = -(-skv // bkv)
+        assert idx.shape[-1] == max(1, int(nk * (1 - ratio)))  # topk count rule
+        out = block_sparse_attention(
+            q, k, v, sparsity_ratio=ratio, block_idx=idx, bq=bq, bkv=bkv
+        )
+        ref = block_sparse_reference(q, k, v, idx, bq=bq, bkv=bkv)
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+        assert err < 0.05, err
+
+    def test_zero_sparsity_matches_dense(self):
+        q = jnp.asarray(rng.normal(size=(1, 2, 384, 128)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(1, 2, 384, 128)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(1, 2, 384, 128)), jnp.bfloat16)
+        out = block_sparse_attention(q, k, v, sparsity_ratio=0.0)
         ref = sdpa_reference(q, k, v)
         err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
         assert err < 0.05, err

@@ -74,3 +74,34 @@ def test_clip_matches_transformers():
     err_p = np.abs(np.asarray(pooled, np.float32) - ref_pool).max() / (np.abs(ref_pool).max() + 1e-9)
     assert err_h < 0.03, err_h
     assert err_p < 0.03, err_p
+
+
+def test_clip_vision_matches_transformers():
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPVisionConfig, CLIPVisionModelWithProjection
+
+    from nunchaku_tpu.models.text_encoders.clip import load_clip_vision
+
+    cfg = CLIPVisionConfig(
+        hidden_size=64, intermediate_size=256, num_hidden_layers=2,
+        num_attention_heads=4, image_size=32, patch_size=8, projection_dim=48,
+    )
+    hf = CLIPVisionModelWithProjection(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    mine = load_clip_vision(sd, heads=4, layers=2, patch=8)
+    px = np.random.default_rng(0).normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(px)).image_embeds.numpy()
+    out, _, _ = mine(jnp.asarray(px, jnp.bfloat16))
+    out = np.asarray(out, np.float32)
+    err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.05, err
+
+
+def test_clip_image_preprocess():
+    from nunchaku_tpu.models.text_encoders.clip import preprocess_clip_image
+
+    img = np.random.default_rng(1).integers(0, 255, (300, 400, 3), dtype=np.uint8)
+    out = preprocess_clip_image(img, size=224)
+    assert out.shape == (1, 3, 224, 224)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
