@@ -31,6 +31,9 @@ from .models.text_encoders.clip import (
     preprocess_clip_image,
 )
 from .models.ip_adapter.flux import FluxIPAdapter, load_flux_ip_adapter
+from .models.pulid import IDFormer, load_eva_vision, load_pulid, pulid_forward
+from .models.safety_checker import SafetyChecker
+from .pipeline.pipeline_flux_pulid import PuLIDFluxPipeline
 from .models.text_encoders.t5 import T5EncoderModel, load_t5_encoder
 from .models.transformers.loader import load_flux_transformer
 from .models.unets.unet_sdxl import SDXLConfig, SDXLUNet2DConditionModel, load_sdxl_unet
@@ -67,6 +70,12 @@ __all__ = [
     "CLIPVisionModel",
     "FluxIPAdapter",
     "load_flux_ip_adapter",
+    "IDFormer",
+    "load_eva_vision",
+    "load_pulid",
+    "pulid_forward",
+    "PuLIDFluxPipeline",
+    "SafetyChecker",
     "load_flux_transformer",
     "load_t5_encoder",
     "set_lora_strength",
