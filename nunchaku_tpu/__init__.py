@@ -33,6 +33,8 @@ from .models.text_encoders.clip import (
 from .models.ip_adapter.flux import FluxIPAdapter, load_flux_ip_adapter
 from .models.pulid import IDFormer, load_eva_vision, load_pulid, pulid_forward
 from .models.safety_checker import SafetyChecker
+from .models.dc_ae import DCAE, DCAEConfig, load_dc_ae
+from .models.text_encoders.gemma2 import Gemma2Encoder, load_gemma2_encoder
 from .pipeline.pipeline_flux_pulid import PuLIDFluxPipeline
 from .models.text_encoders.t5 import T5EncoderModel, load_t5_encoder
 from .models.transformers.loader import load_flux_transformer
@@ -76,6 +78,11 @@ __all__ = [
     "pulid_forward",
     "PuLIDFluxPipeline",
     "SafetyChecker",
+    "DCAE",
+    "DCAEConfig",
+    "load_dc_ae",
+    "Gemma2Encoder",
+    "load_gemma2_encoder",
     "load_flux_transformer",
     "load_t5_encoder",
     "set_lora_strength",

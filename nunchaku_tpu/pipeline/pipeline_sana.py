@@ -87,5 +87,9 @@ class SanaPipeline:
         images = None
         z = lat.reshape(b, lh, lw, cfg.out_channels).transpose(0, 3, 1, 2)
         if self.vae is not None:
-            images = self.vae.decode(z.astype(jnp.bfloat16))
+            # DC-AE latents are scaled by the config factor (diffusers
+            # SanaPipeline: latents / vae.config.scaling_factor)
+            sf = getattr(getattr(self.vae, "cfg", None), "scaling_factor", None)
+            zd = z / sf if sf else z
+            images = self.vae.decode(zd.astype(jnp.bfloat16))
         return SanaPipelineOutput(images=images, latents=z)

@@ -38,3 +38,8 @@ def t5_tokenizer(path) -> HFTokenizer:
 
 def clip_tokenizer(path) -> HFTokenizer:
     return HFTokenizer(path)
+
+
+def gemma_tokenizer(path) -> HFTokenizer:
+    """Gemma-2 tokenizer for SANA (google/gemma-2-2b-it)."""
+    return HFTokenizer(path)

@@ -105,3 +105,37 @@ def test_clip_image_preprocess():
     out = preprocess_clip_image(img, size=224)
     assert out.shape == (1, 3, 224, 224)
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_gemma2_matches_transformers():
+    torch = pytest.importorskip("torch")
+    from transformers import Gemma2Config, Gemma2Model
+
+    from nunchaku_tpu.models.text_encoders.gemma2 import load_gemma2_encoder
+
+    cfg = Gemma2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, query_pre_attn_scalar=16, attn_logit_softcapping=50.0,
+        sliding_window=4096, max_position_embeddings=128,
+    )
+    hf = Gemma2Model(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    mine = load_gemma2_encoder(
+        sd,
+        config=dict(num_layers=2, heads=4, kv_heads=2, head_dim=16,
+                    query_pre_attn_scalar=16.0),
+    )
+    ids = np.random.default_rng(0).integers(1, 256, (2, 12))
+    am = np.ones((2, 12), np.int64)
+    am[1, 9:] = 0
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids), attention_mask=torch.from_numpy(am)).last_hidden_state.numpy()
+    out = np.asarray(
+        mine(jnp.asarray(ids), jnp.asarray(am)), np.float32
+    )
+    # compare only non-pad positions
+    err = np.abs(out[am.astype(bool)] - ref[am.astype(bool)]).max() / (
+        np.abs(ref).max() + 1e-9
+    )
+    assert err < 0.04, err
