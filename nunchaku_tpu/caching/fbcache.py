@@ -180,3 +180,67 @@ def fb_cached_forward(
         hits=state.hits + hit.astype(jnp.int32),
     )
     return out, new_state
+
+
+# ---------------------------------------------------------------------------
+# SANA first-block cache (reference SanaCachedTransformerBlocks,
+# caching/utils.py:33-213)
+# ---------------------------------------------------------------------------
+
+
+class SanaFBCacheState(NamedTuple):
+    prev_first_residual: jnp.ndarray  # (B, S_img, D)
+    cached_rest_residual: jnp.ndarray  # (B, S_img, D)
+    valid: jnp.ndarray  # () bool
+    hits: jnp.ndarray  # () int32
+
+
+def init_sana_fb_state(batch, s_img, dim) -> SanaFBCacheState:
+    return SanaFBCacheState(
+        jnp.zeros((batch, s_img, dim), jnp.bfloat16),
+        jnp.zeros((batch, s_img, dim), jnp.bfloat16),
+        jnp.zeros((), jnp.bool_),
+        jnp.zeros((), jnp.int32),
+    )
+
+
+def sana_fb_cached_forward(
+    model,
+    state: SanaFBCacheState,
+    hidden_states,
+    encoder_hidden_states,
+    timestep,
+    cond_mask=None,
+    pag: bool = False,
+    *,
+    residual_diff_threshold: float = 0.12,
+):
+    """SANA step with first-block caching: run block 0; when its residual is
+    close to the previous step's, replay the cached remaining-blocks
+    residual instead of running blocks 1..L-1."""
+    x0, cond, temb, temb6, side = model.embed(
+        hidden_states, encoder_hidden_states, timestep
+    )
+    x1 = model.run_blocks(x0, cond, temb6, side, cond_mask, pag, start=0, stop=1)
+    first_residual = (x1 - x0).astype(jnp.bfloat16)
+    hit = jnp.logical_and(
+        state.valid,
+        _similar(first_residual, state.prev_first_residual, residual_diff_threshold),
+    )
+
+    def on_hit(st):
+        x = x1 + st.cached_rest_residual.astype(jnp.float32)
+        return x, SanaFBCacheState(
+            first_residual, st.cached_rest_residual,
+            jnp.ones((), jnp.bool_), st.hits + 1,
+        )
+
+    def on_miss(st):
+        x = model.run_blocks(x1, cond, temb6, side, cond_mask, pag, start=1)
+        rest = (x - x1).astype(jnp.bfloat16)
+        return x, SanaFBCacheState(
+            first_residual, rest, jnp.ones((), jnp.bool_), st.hits,
+        )
+
+    x, new_state = jax.lax.cond(hit, on_hit, on_miss, state)
+    return model.head(x, temb), new_state

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ...core.module import Module
+from ...utils.debug_taps import tap
 from ..attention import FeedForward, FluxAttention, gelu_mlp
 from ..embeddings import CombinedTimestepEmbeddings, rope_table
 from ..linear import Linear, SVDQW4A4Linear
@@ -101,6 +102,8 @@ class FluxTransformerBlock(Module):
         )
         attn_outs = self.attn(norm_img, norm_txt, rot, ip_kv=ip_kv)
         attn_img, attn_txt = attn_outs[0], attn_outs[1]
+        attn_img = tap("dual.attn_img", attn_img)
+        attn_txt = tap("dual.attn_txt", attn_txt)
 
         img = img + gate_msa[:, None] * attn_img.astype(jnp.float32)
         if len(attn_outs) == 3:  # IP-Adapter residual (transformer_flux_v2.py:238)
@@ -113,7 +116,7 @@ class FluxTransformerBlock(Module):
         txt = txt + c_gate_mlp[:, None] * self.ff_context(h.astype(attn_txt.dtype)).astype(
             jnp.float32
         )
-        return img, txt
+        return tap("dual.img_out", img), tap("dual.txt_out", txt)
 
 
 class FluxSingleTransformerBlock(Module):
@@ -156,7 +159,7 @@ class FluxSingleTransformerBlock(Module):
         out = self.attn_out(attn).astype(jnp.float32) + mlp.astype(jnp.float32)
         if self.tp_axis is not None:  # attn_out + mlp_fc2 are row-parallel
             out = jax.lax.psum(out, self.tp_axis)
-        return x + gate[:, None] * out
+        return tap("single.out", x + gate[:, None] * out)
 
 
 class FluxTransformer2DModel(Module):

@@ -263,28 +263,44 @@ class SanaTransformer2DModel(Module):
             Linear.random_init(ks[6], dim, cfg.out_channels),
         )
 
-    def __call__(self, hidden_states, encoder_hidden_states, timestep,
-                 cond_mask=None, pag: bool = False):
-        """hidden_states (B, S_img, in_ch) tokens (patch 1 latents),
-        encoder_hidden_states (B, S_txt, caption_channels), timestep (B,)."""
+    # -- composable stages (the caching subsystem splits the graph here,
+    #    mirroring reference SanaCachedTransformerBlocks, caching/utils.py:33) --
+    def embed(self, hidden_states, encoder_hidden_states, timestep):
         b, s, _ = hidden_states.shape
         side = int(round(s**0.5))
         x = self.patch_embed(hidden_states).astype(jnp.float32)
         cond = self.caption_proj(encoder_hidden_states).astype(jnp.bfloat16)
-
         temb = self.time_embed(timestep_embedding(timestep * 1000.0, 256))
         temb6 = self.time_proj_linear(
             jax.nn.silu(temb.astype(jnp.float32)).astype(jnp.bfloat16)
         ).astype(jnp.float32).reshape(b, 6, -1)
+        return x, cond, temb, temb6, side
+
+    def run_blocks(self, x, cond, temb6, side, cond_mask=None, pag=False,
+                   start=0, stop=None):
+        stop = self.cfg.num_layers if stop is None else stop
+        blocks = jax.tree.map(lambda a: a[start:stop], self.blocks)
 
         def body(carry, block):
             return block(carry, cond, temb6, (side, side), cond_mask, pag), None
 
-        x, _ = jax.lax.scan(body, x, self.blocks)
+        x, _ = jax.lax.scan(body, x, blocks)
+        return x
 
+    def head(self, x, temb):
         mods = self.scale_shift_table_out[None].astype(jnp.float32) + temb[
             :, None
         ].astype(jnp.float32)
         shift, scale = mods[:, 0], mods[:, 1]
         out = layer_norm(x) * (1 + scale[:, None]) + shift[:, None]
         return self.proj_out(out.astype(jnp.bfloat16)).astype(jnp.bfloat16)
+
+    def __call__(self, hidden_states, encoder_hidden_states, timestep,
+                 cond_mask=None, pag: bool = False):
+        """hidden_states (B, S_img, in_ch) tokens (patch 1 latents),
+        encoder_hidden_states (B, S_txt, caption_channels), timestep (B,)."""
+        x, cond, temb, temb6, side = self.embed(
+            hidden_states, encoder_hidden_states, timestep
+        )
+        x = self.run_blocks(x, cond, temb6, side, cond_mask, pag)
+        return self.head(x, temb)

@@ -8,6 +8,7 @@ matching; the text encoder is Gemma-2 (pluggable here like the others).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -42,6 +43,8 @@ class SanaPipeline:
         pag_scale: float = 0.0,
         seed: int = 0,
         latents: jnp.ndarray | None = None,
+        cache: str | None = None,  # None | "fb" (SanaCachedTransformerBlocks)
+        residual_diff_threshold: float = 0.12,
     ) -> SanaPipelineOutput:
         if prompt_embeds is None:
             if self.text_encoder is None:
@@ -62,6 +65,14 @@ class SanaPipeline:
 
         sigmas = flux_sigmas(num_inference_steps, use_dynamic_shifting=False, shift=3.0)
         use_cfg = guidance_scale > 1.0
+        if cache not in (None, "fb"):
+            raise ValueError(f"SANA supports cache=None or 'fb', got {cache!r}")
+        if cache == "fb" and use_cfg:
+            # reference refuses batch>2 for cached SANA CFG (caching/utils.py:93);
+            # the cached state here is per-batch so CFG would need two states
+            raise ValueError("cache='fb' with guidance_scale>1 is unsupported")
+
+        from ..caching.fbcache import init_sana_fb_state, sana_fb_cached_forward
 
         @jax.jit
         def step(m, lat, pe, mask, t, sig, sig_next):
@@ -76,13 +87,27 @@ class SanaPipeline:
                 vel = m(lat.astype(jnp.bfloat16), pe, t, cond_mask=mask).astype(jnp.float32)
             return euler_step(lat, vel, sig, sig_next)
 
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def cached_step(m, lat, st, pe, mask, t, sig, sig_next):
+            vel, st = sana_fb_cached_forward(
+                m, st, lat.astype(jnp.bfloat16), pe, t, cond_mask=mask,
+                residual_diff_threshold=residual_diff_threshold,
+            )
+            return euler_step(lat, vel.astype(jnp.float32), sig, sig_next), st
+
         lat = latents
+        cache_state = init_sana_fb_state(b, s_img, cfg.dim) if cache == "fb" else None
         for i in range(num_inference_steps):
-            lat = step(
-                model, lat, prompt_embeds, prompt_attention_mask,
+            targs = (
                 jnp.full((lat.shape[0],), float(sigmas[i]), jnp.float32),
                 jnp.float32(sigmas[i]), jnp.float32(sigmas[i + 1]),
             )
+            if cache == "fb":
+                lat, cache_state = cached_step(
+                    model, lat, cache_state, prompt_embeds, prompt_attention_mask, *targs
+                )
+            else:
+                lat = step(model, lat, prompt_embeds, prompt_attention_mask, *targs)
 
         images = None
         z = lat.reshape(b, lh, lw, cfg.out_channels).transpose(0, 3, 1, 2)

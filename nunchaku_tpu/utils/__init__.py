@@ -9,13 +9,31 @@ import jax.numpy as jnp
 def get_precision(precision: str = "auto", device=None) -> str:
     """Reference nunchaku/utils.py:189 chooses int4 vs fp4 by GPU SM.
 
-    On TPU the int8-MXU turbo mode is the fast path on every generation
-    (no fp4 hardware exists), int4 the memory-optimal one; "auto" picks
-    turbo. nvfp4 checkpoints remain loadable in any mode.
+    On TPU there is no fp4 hardware; the modes trade weight HBM for speed:
+
+    ==========  ============  =====================================
+    mode        weight HBM    notes
+    ==========  ============  =====================================
+    ``int8``    ~12.3 GB      fastest (int8 MXU end to end)
+    ``w4a8``    ~6.8 GB       int4 weights rescaled in-VMEM to the
+                              int8 MXU; ~1.45x slower than int8
+    ``int4``    ~6.8 GB       checkpoint-parity dequant path; slowest
+    ==========  ============  =====================================
+
+    "auto" picks ``int8`` when the chip has headroom for it (>14 GB free
+    HBM fits FLUX int8 + activations at 1024px) and ``w4a8`` otherwise.
+    nvfp4 checkpoints remain loadable in any mode.
     """
     if precision == "auto":
-        return "int8"
-    assert precision in ("int4", "nvfp4", "int8")
+        try:
+            mem = get_device_memory(device)
+            free = mem["bytes_limit"] - mem["bytes_in_use"]
+        except Exception:  # noqa: BLE001 — CPU/virtual backends: no stats
+            return "int8"
+        if mem["bytes_limit"] == 0:  # backend without memory stats
+            return "int8"
+        return "int8" if free > 14 * 2**30 else "w4a8"
+    assert precision in ("int4", "nvfp4", "int8", "w4a8")
     return precision
 
 

@@ -9,6 +9,15 @@ plain lookahead loop gives compute/transfer overlap without explicit
 streams or events. HBM holds only ``lookahead + 1`` blocks of weights
 (~2/57 of the model) plus activations — the "run a 12-20B model in a few
 GB" capability (reference README.md:24,39).
+
+Measured (tools/bench_offload.py, 2026-08-16): this sandbox reaches its
+TPU through a network tunnel, so host<->HBM runs at ~20-140 MB/s — about
+100-1000x below a co-located TPU VM's DMA. Streaming 941 MB of block
+weights took 6.8 s/step against a 16 ms resident step: entirely
+link-bound, not dispatch-bound, and not representative of production
+(where ~10 GB/s moves the full int8 FLUX in ~1.2 s and the lookahead
+overlap hides most of it behind the 0.45 s compute). Re-run the tool on a
+real TPU VM for deployable numbers.
 """
 
 from __future__ import annotations

@@ -147,3 +147,45 @@ def test_fb_cache_huge_threshold_hits(pipe):
     assert int(st.hits) == 1
     _, st = f(model, st, jnp.full((b,), 0.8, jnp.float32))
     assert int(st.hits) == 2
+
+
+def test_sana_fb_cache_exact_at_zero_threshold():
+    """threshold<=0 semantics: with an impossible threshold the cached path
+    never hits and matches the plain forward exactly; with a huge threshold
+    the second step hits and replays the residual."""
+    import numpy as np
+
+    from nunchaku_tpu.caching.fbcache import (
+        init_sana_fb_state,
+        sana_fb_cached_forward,
+    )
+    from nunchaku_tpu.models.transformers.transformer_sana import (
+        SanaConfig,
+        SanaTransformer2DModel,
+    )
+
+    cfg = SanaConfig(num_layers=2, num_attention_heads=8,
+                     num_cross_attention_heads=2, caption_channels=320,
+                     expand_ratio=2.0)
+    model = SanaTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 64, 32)), jnp.bfloat16)
+    cond = jnp.asarray(rng.normal(size=(1, 16, 320)), jnp.bfloat16)
+    t = jnp.array([0.5], jnp.float32)
+
+    st = init_sana_fb_state(1, 64, cfg.dim)
+    out1, st = sana_fb_cached_forward(model, st, x, cond, t,
+                                      residual_diff_threshold=-1.0)
+    ref = model(x, cond, t)
+    assert np.allclose(np.asarray(out1, np.float32), np.asarray(ref, np.float32), atol=1e-2)
+    assert int(st.hits) == 0
+
+    # huge threshold -> second identical step hits
+    st2 = init_sana_fb_state(1, 64, cfg.dim)
+    _, st2 = sana_fb_cached_forward(model, st2, x, cond, t,
+                                    residual_diff_threshold=1e9)
+    out_hit, st2 = sana_fb_cached_forward(model, st2, x, cond, t,
+                                          residual_diff_threshold=1e9)
+    assert int(st2.hits) == 1
+    # identical inputs -> replayed residual reproduces the full forward
+    assert np.allclose(np.asarray(out_hit, np.float32), np.asarray(ref, np.float32), atol=5e-2)

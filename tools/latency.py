@@ -1,0 +1,130 @@
+"""End-to-end / per-step latency measurement.
+
+Counterpart of the reference's app/flux.1/t2i/latency.py:28-74 (warmup +
+trimmed-mean timing, end2end vs step modes) against the TPU pipeline.
+
+  python tools/latency.py -m dev -p int8 --mode end2end --test-times 5
+  python tools/latency.py --mode step -t 50
+
+With NUNCHAKU_TPU_CKPT set to a converted FLUX safetensors file the
+transformer loads real weights; otherwise it times the random-weight graph
+(identical compute). Text encoding/VAE run random-weight (same shapes).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("-m", "--model", default="dev", choices=["schnell", "dev"])
+    p.add_argument("-p", "--precision", default="int8",
+                   choices=["int4", "nvfp4", "int8", "w4a8"])
+    p.add_argument("-t", "--num-inference-steps", type=int, default=None)
+    p.add_argument("-g", "--guidance-scale", type=float, default=None)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--warmup-times", type=int, default=1)
+    p.add_argument("--test-times", type=int, default=5)
+    p.add_argument("--mode", default="end2end", choices=["end2end", "step"])
+    p.add_argument("--ignore-ratio", type=float, default=0.2,
+                   help="trim this fraction of slowest+fastest samples")
+    p.add_argument("--cache", default=None, choices=[None, "fb", "double_fb", "teacache"])
+    args = p.parse_args()
+    if args.num_inference_steps is None:
+        args.num_inference_steps = 50 if args.model == "dev" else 4
+    if args.guidance_scale is None:
+        args.guidance_scale = 3.5 if args.model == "dev" else 0.0
+    return args
+
+
+def build_pipeline(args):
+    from nunchaku_tpu import FluxConfig, FluxPipeline, FluxTransformer2DModel
+    from nunchaku_tpu.models.transformers.loader import load_flux_transformer
+
+    ckpt = os.environ.get("NUNCHAKU_TPU_CKPT")
+    if ckpt:
+        transformer = load_flux_transformer(ckpt, precision=args.precision)
+    else:
+        cfg = FluxConfig(precision=args.precision,
+                         guidance_embeds=args.model == "dev")
+        transformer = FluxTransformer2DModel.dummy_init(cfg)
+    return FluxPipeline(transformer)
+
+
+def trimmed_mean(xs, ratio):
+    xs = sorted(xs)
+    k = int(len(xs) * ratio / 2)
+    xs = xs[k : len(xs) - k] if len(xs) > 2 * k else xs
+    return sum(xs) / len(xs)
+
+
+def main():
+    args = get_args()
+    pipe = build_pipeline(args)
+    cfg = pipe.transformer.cfg
+
+    b = 1
+    s_txt = 512
+    pe = jnp.zeros((b, s_txt, cfg.joint_attention_dim), jnp.bfloat16)
+    pool = jnp.zeros((b, cfg.pooled_projection_dim), jnp.bfloat16)
+
+    def run():
+        out = pipe(
+            prompt_embeds=pe, pooled_prompt_embeds=pool,
+            height=args.height, width=args.width,
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale, cache=args.cache,
+        )
+        jnp.sum(out.latents.astype(jnp.float32)).block_until_ready()
+        return float(jnp.sum(out.latents.astype(jnp.float32)))
+
+    lat = []
+    if args.mode == "end2end":
+        for _ in range(args.warmup_times):
+            run()
+        for _ in range(args.test_times):
+            t0 = time.perf_counter()
+            run()
+            lat.append(time.perf_counter() - t0)
+    else:  # per-step: time the jitted transformer forward
+        from __graft_entry__ import _flux_inputs
+
+        margs = _flux_inputs(cfg, B=1,
+                             S_img=(args.height // 16) * (args.width // 16),
+                             S_txt=s_txt)
+        fwd = jax.jit(lambda m, *a: m(*a))
+        out = fwd(pipe.transformer, *margs)
+        _ = float(jnp.sum(out.astype(jnp.float32)))
+        for _ in range(args.test_times * args.num_inference_steps // 5 or 10):
+            t0 = time.perf_counter()
+            for _ in range(5):
+                out = fwd(pipe.transformer, *margs)
+            _ = float(jnp.sum(out.astype(jnp.float32)))
+            lat.append((time.perf_counter() - t0) / 5)
+
+    mean = trimmed_mean(lat, args.ignore_ratio)
+    print(json.dumps({
+        "mode": args.mode, "model": args.model, "precision": args.precision,
+        "steps": args.num_inference_steps, "cache": args.cache,
+        "latency_s": round(mean, 4),
+        "samples": [round(x, 4) for x in lat],
+    }))
+
+
+if __name__ == "__main__":
+    main()
