@@ -208,12 +208,18 @@ class FeedForward(Module):
         return out
 
 
-def _can_chain(fc1, fc2) -> bool:
+def _can_chain(fc1, fc2, m: int) -> bool:
+    from ..ops.gemm import _int8_use_xla
+
     return (
         getattr(fc1, "precision", None) == "int8"
         and getattr(fc2, "precision", None) == "int8"
         and fc1.logical_out == fc1.out_features
         and fc2.logical_out == fc2.out_features
+        # when fc1's shape routes to the XLA int8 path (2x MXU rate, ~2.8x
+        # the Pallas kernel), the unfused gelu+quantize round trip is
+        # cheaper than chaining the epilogue onto the slower Pallas dot
+        and not _int8_use_xla(m, fc1.in_features, fc1.out_features)
     )
 
 
@@ -227,9 +233,9 @@ def gelu_mlp(fc1, fc2, x):
     column-parallel, fc2 row-parallel — local shards line up and the psum
     happens in the caller. Other precisions use the unfused path.
     """
-    if _can_chain(fc1, fc2):
-        lead = x.shape[:-1]
-        m = math.prod(lead)
+    lead = x.shape[:-1]
+    m = math.prod(lead)
+    if _can_chain(fc1, fc2, m):
         x2d = x.reshape(m, x.shape[-1])
         qact, asc, la = fc1.quantize(x2d)
         sm = fc2.smooth.astype(jnp.float32)

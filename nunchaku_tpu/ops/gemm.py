@@ -352,6 +352,41 @@ def _gemm_w8a8_gelu_quant_kernel(
 _TUNED_INT8: dict = {}
 
 
+def _int8_use_xla(m: int, k: int, n: int) -> bool:
+    """Dispatch: XLA dot_general vs the Pallas kernel for int8.
+
+    Measured on v5e (tools/tune_gemm_impl.py, dispatch-amortized): XLA's
+    int8 dot reaches the doubled int8 MXU rate — 199-274 TF/s at the large
+    FLUX shapes — where the hand-tiled Pallas loop caps at ~97. XLA loses
+    only on the small-product shapes: (4608,3072,3072) runs 69 vs Pallas 97,
+    and M=512 txt-stream GEMMs collapse to ~23 either way. Heuristic:
+    XLA whenever the MN product is large enough that XLA picks its fast
+    int8 kernel.
+    """
+    return m >= 1024 and (n >= 9216 or k >= 9216)
+
+
+def _gemm_w8a8_xla(qact, ascales, qweight, wscales, lora_act, proj_up, bias,
+                   out_dtype):
+    """int8 GEMM on XLA's native int8 MXU path (2x bf16 rate at large
+    shapes) with the scale/lora/bias epilogue as one fused consumer."""
+    m = qact.shape[0]
+    d = jax.lax.dot_general(
+        qact, qweight, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = d.astype(jnp.float32) * ascales.reshape(m, 1).astype(jnp.float32) \
+        * wscales.astype(jnp.float32)
+    if lora_act is not None:
+        out = out + jnp.dot(
+            lora_act.astype(jnp.bfloat16), proj_up.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    if bias is not None:
+        out = out + bias.reshape(1, -1).astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("act_unsigned_next", "gelu_shift", "bm", "bn", "bk", "interpret"),
@@ -541,6 +576,12 @@ def svdq_gemm_w4a4(
         if k % ascales.shape[0]:
             raise ValueError(f"K={k} not divisible by {ascales.shape[0]} scale groups")
         bk = k // ascales.shape[0]
+
+    if (is_int8 and not grouped_as and bm is None and bn is None and bk is None
+            and _int8_use_xla(m, k, n)):
+        return _gemm_w8a8_xla(
+            qact, ascales, qweight, wscales, lora_act, proj_up, bias, out_dtype
+        )
 
     if is_int8 and bm is None and bn is None and bk is None:
         tuned = _TUNED_INT8.get((k, n))

@@ -229,7 +229,7 @@ class TestGeluQuantChain:
         )
         fc2.smooth = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (1024,), jnp.bfloat16)) + 0.5
         x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 512), jnp.bfloat16)
-        assert _can_chain(fc1, fc2)
+        assert _can_chain(fc1, fc2, 128)
         fused = np.asarray(gelu_mlp(fc1, fc2, x), np.float32)
         h = fc1(x)
         h = jax.nn.gelu(h.astype(jnp.float32), approximate=True)
