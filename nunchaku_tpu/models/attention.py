@@ -16,11 +16,15 @@ import math
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from ..core.module import Module
 from ..ops.attention import (
+    LOG2E,
     block_sparse_attention,
     flash_attention,
     flash_attention_bshd,
+    qkv_prepare,
 )
 from ..ops.gemm import svdq_gemm_w8a8_gelu_quant
 from ..ops.reference import GELU_SHIFT, rmsnorm
@@ -64,6 +68,86 @@ def qkv_norm_rope(
     return q, k, v
 
 
+def _prep_halfsplit(qkv, cos, sin, norm_q, norm_k, heads, head_dim, q_scale):
+    """(B, S, 3HD) -> q, k, v (B, H, S, D); rmsnorm + half-split rope +
+    softmax-scale*log2(e) folded into q, all as one fused XLA elementwise
+    chain over the transposed tensors (no interleaved-pair reshape, so XLA
+    fuses the whole chain into the transpose's consumer)."""
+    b, s, _ = qkv.shape
+    half = head_dim // 2
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads_first(t):
+        return t.reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
+
+    def norm_rope(t, w, scale):
+        tf = heads_first(t).astype(jnp.float32)
+        ms = jnp.mean(tf * tf, axis=-1, keepdims=True)
+        tf = tf * jax.lax.rsqrt(ms + 1e-6) * w.astype(jnp.float32)
+        rolled = jnp.concatenate([tf[..., half:], tf[..., :half]], axis=-1)
+        out = tf * cos + rolled * sin
+        if scale != 1.0:
+            out = out * scale
+        return out.astype(qkv.dtype)
+
+    return (
+        norm_rope(q, norm_q, q_scale),
+        norm_rope(k, norm_k, 1.0),
+        heads_first(v),
+    )
+
+
+def _halfsplit_head_perm(head_dim: int) -> np.ndarray:
+    """Channel perm relocating interleaved rope pairs (2i, 2i+1) to
+    half-split pairs (i, i + D/2): new[i] = old[2i], new[i+D/2] = old[2i+1]."""
+    return np.concatenate(
+        [np.arange(0, head_dim, 2), np.arange(1, head_dim, 2)]
+    )
+
+
+def _halfsplit_qkv_perm(heads: int, head_dim: int, n: int) -> np.ndarray:
+    """Output-channel perm for a fused [q|k|v] projection: permute each
+    head of the q and k sections with the half-split perm, v untouched."""
+    hd = heads * head_dim
+    per_head = (
+        np.arange(heads)[:, None] * head_dim + _halfsplit_head_perm(head_dim)[None]
+    ).ravel()
+    parts = [per_head, hd + per_head, 2 * hd + np.arange(hd)]
+    if n > 3 * hd:  # padded output channels stay in place
+        parts.append(np.arange(3 * hd, n))
+    return np.concatenate(parts)
+
+
+def _permute_out_channels(lin, perm: np.ndarray) -> None:
+    """In-place output-channel permutation of a (possibly stacked)
+    quantized linear; every N-axis tensor moves together."""
+    idx = jnp.asarray(perm)
+    for name in ("qweight", "wscales", "proj_up", "bias", "rescales"):
+        t = getattr(lin, name, None)
+        if t is not None:
+            setattr(lin, name, jnp.take(t, idx, axis=-1))
+
+
+def permute_qk_halfsplit(attn: "FluxAttention") -> None:
+    """Enable the fused qkv_prepare path on a (stacked) FluxAttention:
+    permute q/k output channels of the QKV projections and the q/k RMSNorm
+    weights into half-split rope layout (ops/attention.py qkv_prepare).
+    Semantics-preserving: q and k are permuted consistently, v and the
+    output projection are untouched."""
+    heads, head_dim = attn.heads, attn.head_dim
+    n = attn.to_qkv.qweight.shape[-1]
+    perm = _halfsplit_qkv_perm(heads, head_dim, n)
+    hperm = jnp.asarray(_halfsplit_head_perm(head_dim))
+    _permute_out_channels(attn.to_qkv, perm)
+    attn.norm_q = jnp.take(attn.norm_q, hperm, axis=-1)
+    attn.norm_k = jnp.take(attn.norm_k, hperm, axis=-1)
+    if attn.add_qkv_proj is not None:
+        _permute_out_channels(attn.add_qkv_proj, perm)
+        attn.norm_added_q = jnp.take(attn.norm_added_q, hperm, axis=-1)
+        attn.norm_added_k = jnp.take(attn.norm_added_k, hperm, axis=-1)
+    attn.prep_fused = True
+
+
 class FluxAttention(Module):
     """Joint text+image attention with fused quantized QKV.
 
@@ -104,6 +188,9 @@ class FluxAttention(Module):
         # Set via FluxTransformer2DModel.set_attention_impl; reference
         # Attention::forward(qkv, pool_qkv, sparsityRatio), FluxModel.cpp:130.
         self.sparsity_ratio = 0.0
+        # set by permute_qk_halfsplit(): weights are in half-split rope
+        # layout and the fused qkv_prepare kernel path is active
+        self.prep_fused = False
 
     @classmethod
     def random_init(cls, key, dim, heads, head_dim, joint=True, rank=32, precision="int4"):
@@ -129,6 +216,44 @@ class FluxAttention(Module):
             return jax.lax.psum(x, self.tp_axis)
         return x
 
+    def _forward_fused(self, qkv, hidden, encoder_hidden, rot, heads_local):
+        """Half-split prep (split+transpose+rmsnorm+rope+scale as one fused
+        XLA elementwise chain — the interleaved-pair reshape that blocked
+        fusion is gone) -> flash with direct (B, S, H*D) output and the
+        fixed-shift softmax. Weights must be in half-split rope layout
+        (permute_qk_halfsplit). A Pallas prepare kernel (ops/attention.py
+        qkv_prepare) was measured 4x SLOWER than this XLA chain on v5e —
+        the in-kernel (bs, H, D) -> (H, bs, D) transpose dominates."""
+        b, s_img, _ = hidden.shape
+        cos, sin = rot
+        q_scale = LOG2E / math.sqrt(self.head_dim)
+        if encoder_hidden is None:
+            q, k, v = _prep_halfsplit(
+                qkv, cos, sin, self.norm_q, self.norm_k,
+                heads_local, self.head_dim, q_scale,
+            )
+            return flash_attention(
+                q, k, v, scale=1.0, out_bshd=True, fixed_softmax=True
+            )
+
+        s_txt = encoder_hidden.shape[1]
+        qkv_txt = self.add_qkv_proj(encoder_hidden)
+        q_i, k_i, v_i = _prep_halfsplit(
+            qkv, cos[s_txt:], sin[s_txt:], self.norm_q, self.norm_k,
+            heads_local, self.head_dim, q_scale,
+        )
+        q_t, k_t, v_t = _prep_halfsplit(
+            qkv_txt, cos[:s_txt], sin[:s_txt],
+            self.norm_added_q, self.norm_added_k,
+            heads_local, self.head_dim, q_scale,
+        )
+        q = jnp.concatenate([q_t, q_i], axis=2)
+        k = jnp.concatenate([k_t, k_i], axis=2)
+        v = jnp.concatenate([v_t, v_i], axis=2)
+        o = flash_attention(q, k, v, scale=1.0, out_bshd=True, fixed_softmax=True)
+        txt_o, img_o = o[:, :s_txt], o[:, s_txt:]
+        return (self._psum(self.to_out(img_o)), self._psum(self.to_add_out(txt_o)))
+
     def _attend(self, q, k, v):
         if getattr(self, "sparsity_ratio", 0.0) > 0.0:
             return block_sparse_attention(q, k, v, sparsity_ratio=self.sparsity_ratio)
@@ -142,6 +267,21 @@ class FluxAttention(Module):
         b, s_img, _ = hidden.shape
         qkv = self.to_qkv(hidden)
         heads_local = qkv.shape[-1] // 3 // self.head_dim
+        fused = (
+            getattr(self, "prep_fused", False)
+            and getattr(self, "sparsity_ratio", 0.0) == 0.0
+            and ip_kv is None
+            and isinstance(rot, tuple)
+        )
+        if fused:
+            return self._forward_fused(
+                qkv, hidden, encoder_hidden, rot, heads_local
+            )
+        if isinstance(rot, tuple):
+            raise ValueError(
+                "half-split rope table with the unfused path: rot must be the "
+                "interleaved (S, D/2, 2) table unless prep_fused is active"
+            )
         if encoder_hidden is None:
             q, k, v = qkv_norm_rope(qkv, self.head_dim, self.norm_q, self.norm_k, rot)
             o = self._attend(q, k, v)

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from ...core.module import Module
 from ...utils.debug_taps import tap
-from ..attention import FeedForward, FluxAttention, gelu_mlp
+from ...ops.attention import rope_table_halfsplit
+from ..attention import FeedForward, FluxAttention, gelu_mlp, permute_qk_halfsplit
 from ..embeddings import CombinedTimestepEmbeddings, rope_table
 from ..linear import Linear, SVDQW4A4Linear
 from ..normalization import (
@@ -248,6 +249,19 @@ class FluxTransformer2DModel(Module):
         self.single_transformer_blocks.attn.sparsity_ratio = ratio
         return self
 
+    def enable_fused_qkv_prep(self):
+        """Switch to the fused attention prologue: permute q/k channels of
+        every QKV projection (+ q/k RMSNorm weights) into half-split rope
+        layout and run split+transpose+norm+rope as one Pallas pass
+        (ops/attention.py qkv_prepare) with the flash kernel writing
+        (B, S, H*D) directly. Semantics-preserving; call once after
+        load/init (and before parallelize()). Not compatible with
+        IP-Adapter injection (ip_kv needs the unfused layout)."""
+        permute_qk_halfsplit(self.transformer_blocks.attn)
+        permute_qk_halfsplit(self.single_transformer_blocks.attn)
+        self._rope_halfsplit = True
+        return self
+
     # -- composable stages (the caching subsystem splits the graph here) ----
     def embed(
         self, hidden_states, encoder_hidden_states, pooled_projections,
@@ -260,6 +274,8 @@ class FluxTransformer2DModel(Module):
         temb = temb.astype(jnp.bfloat16)
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)
         rot = rope_table(ids, self.cfg.axes_dims_rope)
+        if getattr(self, "_rope_halfsplit", False):
+            rot = rope_table_halfsplit(rot)  # (cos, sin) for qkv_prepare
         return img, txt, temb, rot
 
     def run_dual(self, img, txt, temb, rot, start=0, stop=None,

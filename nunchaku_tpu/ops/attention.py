@@ -27,6 +27,203 @@ NEG_INF = -1e30
 LOG2E = math.log2(math.e)
 
 
+# ---------------------------------------------------------------------------
+# Fused QKV prepare: split + head transpose + RMSNorm + RoPE in one pass
+# ---------------------------------------------------------------------------
+#
+# The reference fuses Q/K RMSNorm + RoPE into a CUDA kernel over the packed
+# QKV GEMM output (ops/fused.py fused_qkv_norm_rottary :80, FluxModel.cpp
+# attention prologue). The XLA equivalent costs ~50 ms/step at FLUX 1024px:
+# split (copy) + 3 head transposes (HBM relayouts) + rmsnorm + rope each
+# round-trip HBM. This kernel does all of it in ONE read of the (S, 3HD)
+# GEMM output and one write of q/k/v in the flash kernel's (B, H, S, D)
+# layout.
+#
+# RoPE runs in half-split form: channel i pairs with i + D/2 (a 64-lane
+# roll, which Mosaic can vectorize) instead of the interleaved (2i, 2i+1)
+# convention (a stride-2 lane shuffle, which it cannot). The q/k output
+# channels of the QKV projection and the q/k RMSNorm weights are permuted
+# once at load time (models/attention.py permute_qk_halfsplit) so results
+# are bit-identical to the interleaved convention: attention is invariant
+# to a consistent channel permutation of q and k.
+
+
+def _qkv_prepare_kernel(
+    x_ref, c_ref, s_ref, wq_ref, wk_ref, q_ref, k_ref, v_ref,
+    *, heads, head_dim, eps, q_scale,
+):
+    hd = heads * head_dim
+    half = head_dim // 2
+    x = x_ref[0]  # (bs, 3*H*D) bf16
+    bs = x.shape[0]
+
+    def heads_first(a):  # (bs, H*D) -> (H, bs, D)
+        return jnp.swapaxes(a.reshape(bs, heads, head_dim), 0, 1)
+
+    v_ref[0] = heads_first(x[:, 2 * hd :]).astype(v_ref.dtype)
+
+    c = c_ref[...][None]  # (1, bs, D) f32
+    s = s_ref[...][None]
+
+    def prep(a, w_ref, scale):
+        a = heads_first(a).astype(jnp.float32)  # (H, bs, D)
+        ms = jnp.mean(a * a, axis=-1, keepdims=True)
+        a = a * jax.lax.rsqrt(ms + eps)
+        a = a * w_ref[...].astype(jnp.float32)[None]
+        rolled = jnp.concatenate([a[..., half:], a[..., :half]], axis=-1)
+        out = a * c + rolled * s
+        if scale != 1.0:
+            out = out * scale
+        return out.astype(q_ref.dtype)
+
+    q_ref[0] = prep(x[:, :hd], wq_ref, q_scale)
+    k_ref[0] = prep(x[:, hd : 2 * hd], wk_ref, 1.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "head_dim", "q_scale", "eps", "bs", "interpret"),
+)
+def qkv_prepare(
+    qkv: jnp.ndarray,      # (B, S, 3*H*D) fused-QKV GEMM output
+    cos: jnp.ndarray,      # (S, D) f32 half-split rope table
+    sin: jnp.ndarray,      # (S, D) f32 (first half negated)
+    norm_q: jnp.ndarray,   # (D,) q RMSNorm weight (half-split permuted)
+    norm_k: jnp.ndarray,   # (D,)
+    *,
+    heads: int,
+    head_dim: int,
+    q_scale: float = 1.0,  # softmax scale * log2(e), folded into q
+    eps: float = 1e-6,
+    bs: int = 128,
+    interpret: bool | None = None,
+):
+    """-> q, k, v each (B, H, S, D) bf16, normed + rotated (+ q prescaled)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, s, n3 = qkv.shape
+    hd = heads * head_dim
+    if n3 != 3 * hd:
+        raise ValueError(f"qkv last dim {n3} != 3*{heads}*{head_dim}")
+    pad = (-s) % bs
+    if pad:
+        qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
+        cos = jnp.pad(cos, ((0, pad), (0, 0)))
+        sin = jnp.pad(sin, ((0, pad), (0, 0)))
+    sp = s + pad
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _qkv_prepare_kernel,
+            heads=heads, head_dim=head_dim, eps=eps, q_scale=q_scale,
+        ),
+        grid=(b, sp // bs),
+        in_specs=[
+            pl.BlockSpec((1, bs, 3 * hd), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((bs, head_dim), lambda bi, i: (i, 0)),
+            pl.BlockSpec((bs, head_dim), lambda bi, i: (i, 0)),
+            pl.BlockSpec((1, head_dim), lambda bi, i: (0, 0)),
+            pl.BlockSpec((1, head_dim), lambda bi, i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, heads, bs, head_dim), lambda bi, i: (bi, 0, i, 0)),
+            pl.BlockSpec((1, heads, bs, head_dim), lambda bi, i: (bi, 0, i, 0)),
+            pl.BlockSpec((1, heads, bs, head_dim), lambda bi, i: (bi, 0, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, heads, sp, head_dim), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, heads, sp, head_dim), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, heads, sp, head_dim), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            # f32 temps for all heads of a row block exceed the default
+            # 16 MiB scoped budget at bs=128; the physical VMEM is larger
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * b * sp * hd,
+            bytes_accessed=4 * b * sp * 3 * hd,
+            transcendentals=2 * b * sp * heads,
+        ),
+        interpret=interpret,
+    )(qkv, cos.astype(jnp.float32), sin.astype(jnp.float32),
+      norm_q.reshape(1, head_dim), norm_k.reshape(1, head_dim))
+    q, k, v = outs
+    if pad:
+        q, k, v = q[:, :, :s], k[:, :, :s], v[:, :, :s]
+    return q, k, v
+
+
+def rope_table_halfsplit(rot: jnp.ndarray):
+    """Interleaved rope table (S, D/2, 2) -> half-split (cos, sin) each (S, D).
+
+    cos repeats across both halves; sin's first half is negated so the
+    kernel computes x*cos + roll(x, D/2)*sin (models/embeddings.py pair
+    convention relocated to channel pairs (i, i + D/2))."""
+    c, s = rot[..., 0], rot[..., 1]
+    return (
+        jnp.concatenate([c, c], axis=-1),
+        jnp.concatenate([-s, s], axis=-1),
+    )
+
+
+# Fixed-shift softmax (the `fixed_softmax` flash mode): p = 2^(s - SHIFT)
+# with s clamped at CAP, l/acc accumulated without per-row max tracking.
+# Exact (not approximate) softmax whenever every row's max logit lies in
+# [-117, 116] in the log2 domain — |logit| <= 80 pre-scale covers every
+# real diffusion checkpoint by ~4x margin; entries more than ~117 below
+# the cap underflow to 0, i.e. entries softmax already weights < 1e-35.
+# Skipping the online max/rescale machinery removes ~2 VPU passes per
+# logit element — the flash kernel is VPU-bound on TPU (measured: the MXU
+# work is 3.1 us/grid-step, the online-softmax VPU chain ~6 us).
+FIXED_SHIFT = 16.0
+FIXED_CAP = 116.0
+
+
+def _flash_kernel_fixed(
+    q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr, *, scale: float, kv_len: int
+):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (bkv, d)
+    v = v_ref[0]  # (bkv, d)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if scale != 1.0:
+        s = s * (scale * LOG2E)
+
+    bkv = k.shape[0]
+    if kv_len % bkv:
+        base = j * bkv
+        col = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+
+    # exp2 argument must stay f32: at |arg| ~ SHIFT a bf16 argument only
+    # resolves 2^-8 * 2^4 = 0.06, i.e. ~4% error in p. The f32 exp2 result
+    # cast to bf16 keeps full relative precision for the PV matmul.
+    p = jnp.exp2(jnp.minimum(s, FIXED_CAP) - FIXED_SHIFT)
+    l_scr[...] += jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
+    )
+    acc_scr[...] += jnp.dot(
+        p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nj - 1)
+    def _done():
+        o_ref[0] = (acc_scr[...] / l_scr[...][:, :1]).astype(o_ref.dtype)
+
+
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float, kv_len: int
 ):
@@ -43,11 +240,13 @@ def _flash_kernel(
     k = k_ref[0]  # (bkv, d)
     v = v_ref[0]  # (bkv, d)
 
-    # logits in log2 domain: s = (q . k) * scale * log2(e)
+    # logits in log2 domain: s = (q . k) * scale * log2(e); scale == 1.0
+    # means the caller pre-folded scale*log2(e) into q (qkv_prepare)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * (scale * LOG2E)
+    if scale != 1.0:
+        s = s * (scale * LOG2E)
 
     bkv = k.shape[0]
     if kv_len % bkv:
@@ -79,7 +278,8 @@ def _flash_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "bq", "bkv", "interpret")
+    jax.jit,
+    static_argnames=("scale", "bq", "bkv", "out_bshd", "fixed_softmax", "interpret"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -89,12 +289,19 @@ def flash_attention(
     scale: float | None = None,
     bq: int = 768,
     bkv: int = 1536,
+    out_bshd: bool = False,
+    fixed_softmax: bool = False,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Dense non-causal attention over (B, H, S, D) bf16 tensors.
 
     S may be ragged (padded internally to the block size); D should be a
     multiple of 128 (FLUX/SANA use 128/32-per-head packed into 128 lanes).
+
+    ``scale=1.0`` means the caller already folded softmax-scale * log2(e)
+    into q (the qkv_prepare path). ``out_bshd=True`` writes the output
+    directly as (B, S, H*D) via the out BlockSpec index map — the inverse
+    head transpose never materializes in HBM.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -118,24 +325,43 @@ def flash_attention(
     k3 = k.reshape(bh, skv + pkv, d)
     v3 = v.reshape(bh, skv + pkv, d)
 
+    if out_bshd:
+        out_spec = pl.BlockSpec(
+            (1, bq, d), lambda g, i, j: (g // h, i, g % h), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((b, sq + pq, h * d), q.dtype)
+    else:
+        out_spec = pl.BlockSpec(
+            (1, bq, d), lambda g, i, j: (g, i, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((bh, sq + pq, d), q.dtype)
+
+    if fixed_softmax:
+        kernel = functools.partial(_flash_kernel_fixed, scale=scale, kv_len=skv)
+        scratch = [
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(_flash_kernel, scale=scale, kv_len=skv)
+        scratch = [
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ]
+
     grid = (bh, (sq + pq) // bq, (skv + pkv) // bkv)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_len=skv),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bkv, d), lambda g, i, j: (g, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bkv, d), lambda g, i, j: (g, j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, bq, d), lambda g, i, j: (g, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bh, sq + pq, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, d), jnp.float32),
-        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -146,6 +372,8 @@ def flash_attention(
         ),
         interpret=interpret,
     )(q3, k3, v3)
+    if out_bshd:
+        return out[:, :sq]
     return out[:, :sq].reshape(b, h, sq, d)
 
 

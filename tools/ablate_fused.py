@@ -1,0 +1,63 @@
+"""In-model A/B of the fused-attention ingredients.
+
+  base          - unfused model (reference point)
+  fixed         - unfused + fixed-shift softmax forced in the flash kernel
+  fused         - enable_fused_qkv_prep() (halfsplit prep + bshd out + fixed)
+  fused-nofixed - fused, but online softmax
+  fused-nobshd  - fused, but (B,H,S,D) kernel output + XLA transpose back
+"""
+
+import sys, time, os, functools
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+mode = sys.argv[1] if len(sys.argv) > 1 else "base"
+
+import nunchaku_tpu.models.attention as A
+
+real_flash = A.flash_attention
+
+
+def override(**force):
+    def wrapper(q, k, v, **kw):
+        kw.update(force)
+        want_bshd = force.get("out_bshd_emulate")
+        kw.pop("out_bshd_emulate", None)
+        o = real_flash(q, k, v, **kw)
+        if want_bshd is not None and want_bshd:
+            b, h, s, d = o.shape
+            o = o.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        return o
+    return wrapper
+
+
+if mode == "fixed":
+    A.flash_attention = override(fixed_softmax=True)
+elif mode == "fused-nofixed":
+    A.flash_attention = override(fixed_softmax=False)
+elif mode == "fused-nobshd":
+    A.flash_attention = override(out_bshd=False, out_bshd_emulate=True)
+
+from nunchaku_tpu.models.transformers.transformer_flux import FluxConfig, FluxTransformer2DModel
+from __graft_entry__ import _flux_inputs
+
+cfg = FluxConfig(precision="int8")
+model = FluxTransformer2DModel.dummy_init(cfg)
+if mode.startswith("fused"):
+    model = model.enable_fused_qkv_prep()
+args = _flux_inputs(cfg, B=1, S_img=4096, S_txt=512)
+fwd = jax.jit(lambda m, *a: m(*a))
+out = fwd(model, *args)
+_ = float(jnp.sum(out.astype(jnp.float32)))
+n = 8
+t0 = time.perf_counter()
+for _ in range(n):
+    out = fwd(model, *args)
+_ = float(jnp.sum(out.astype(jnp.float32)))
+print(f"[{mode}] forward: {(time.perf_counter()-t0)/n*1e3:.1f} ms", flush=True)

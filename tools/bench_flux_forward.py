@@ -6,6 +6,8 @@ from __graft_entry__ import _flux_inputs
 prec = sys.argv[1] if len(sys.argv) > 1 else "int4"
 cfg = FluxConfig(precision=prec)
 model = FluxTransformer2DModel.dummy_init(cfg)
+if "fused" in sys.argv:
+    model = model.enable_fused_qkv_prep()
 args = _flux_inputs(cfg, B=1, S_img=4096, S_txt=512)
 fwd = jax.jit(lambda m, *a: m(*a))
 t0 = time.time()

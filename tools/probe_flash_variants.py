@@ -1,0 +1,67 @@
+"""A/B flash-attention variants at FLUX joint shape, chained in one jit."""
+
+import sys, time, os
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+from nunchaku_tpu.ops.attention import flash_attention
+
+B, H, S, D = 1, 24, 4608, 128
+L = 8
+rng = np.random.default_rng(0)
+q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.bfloat16)
+k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.bfloat16)
+v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.bfloat16)
+
+FLOPS = 4 * B * H * S * S * D * L
+
+CASES = {
+    "online-bhsd": dict(fixed_softmax=False, out_bshd=False),
+    "fixed-bhsd": dict(fixed_softmax=True, out_bshd=False),
+    "online-bshd": dict(fixed_softmax=False, out_bshd=True),
+    "fixed-bshd": dict(fixed_softmax=True, out_bshd=True),
+    "fixed-bhsd-bkv2304": dict(fixed_softmax=True, out_bshd=False, bkv=2304),
+    "fixed-bhsd-bkv4608": dict(fixed_softmax=True, out_bshd=False, bkv=4608),
+    "fixed-bhsd-bq1536": dict(fixed_softmax=True, out_bshd=False, bq=1536),
+    "online-bhsd-bkv2304": dict(fixed_softmax=False, out_bshd=False, bkv=2304),
+}
+
+names = sys.argv[1:] or list(CASES)
+for name in names:
+    kw = CASES[name]
+
+    @jax.jit
+    def run(q, k, v, kw=tuple(sorted(kw.items()))):
+        kwd = dict(kw)
+        qq = q
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(L):
+            o = flash_attention(qq, k, v, **kwd)
+            if kwd.get("out_bshd"):
+                # timing-only chain: reinterpret (B,S,HD) as (B,H,S,D)
+                # without a transpose op (data wrong, cost right)
+                o = o.reshape(B, H, S, D)
+            qq = o.astype(jnp.bfloat16)
+            acc = acc + o[0, 0, 0].astype(jnp.float32).sum()
+        return acc
+
+    try:
+        r = run(q, k, v)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        n = 6
+        for _ in range(n):
+            r = run(q, k, v)
+        jax.block_until_ready(r)
+        dt = (time.perf_counter() - t0) / n
+        print(f"{name:24s} {dt/L*1e3:7.3f} ms/attn  {FLOPS/dt/1e12:6.1f} TF/s "
+              f"-> x57 = {dt/L*57*1e3:.1f} ms/step", flush=True)
+    except Exception as e:
+        print(f"{name:24s} FAIL {str(e)[:150]}", flush=True)
