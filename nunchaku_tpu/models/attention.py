@@ -80,15 +80,22 @@ def _prep_halfsplit(qkv, cos, sin, norm_q, norm_k, heads, head_dim, q_scale):
     def heads_first(t):
         return t.reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
 
+    # sin's first half is negated in the table (rope_table_halfsplit); the
+    # cos halves are equal. Slicing operands and concatenating only at the
+    # END keeps the whole chain inside one XLA fusion — a mid-chain
+    # concat (the rolled tensor) materializes ~56 MB f32 temps per tensor
+    # (measured +54 ms/step).
+    c1, s1 = cos[..., :half], sin[..., :half]
+    c2, s2 = cos[..., half:], sin[..., half:]
+
     def norm_rope(t, w, scale):
         tf = heads_first(t).astype(jnp.float32)
         ms = jnp.mean(tf * tf, axis=-1, keepdims=True)
         tf = tf * jax.lax.rsqrt(ms + 1e-6) * w.astype(jnp.float32)
-        rolled = jnp.concatenate([tf[..., half:], tf[..., :half]], axis=-1)
-        out = tf * cos + rolled * sin
-        if scale != 1.0:
-            out = out * scale
-        return out.astype(qkv.dtype)
+        a1, a2 = tf[..., :half], tf[..., half:]
+        o1 = (a1 * c1 + a2 * s1) * scale
+        o2 = (a2 * c2 + a1 * s2) * scale
+        return jnp.concatenate([o1, o2], axis=-1).astype(qkv.dtype)
 
     return (
         norm_rope(q, norm_q, q_scale),
@@ -191,6 +198,10 @@ class FluxAttention(Module):
         # set by permute_qk_halfsplit(): weights are in half-split rope
         # layout and the fused qkv_prepare kernel path is active
         self.prep_fused = False
+        # fixed-shift softmax in the dense flash kernel (see ops/attention
+        # FIXED_SHIFT): faster and slightly more accurate than the online
+        # rescan; set False to force the online-softmax kernel
+        self.fixed_softmax = True
 
     @classmethod
     def random_init(cls, key, dim, heads, head_dim, joint=True, rank=32, precision="int4"):
@@ -254,10 +265,18 @@ class FluxAttention(Module):
         txt_o, img_o = o[:, :s_txt], o[:, s_txt:]
         return (self._psum(self.to_out(img_o)), self._psum(self.to_add_out(txt_o)))
 
-    def _attend(self, q, k, v):
+    def _attend(self, q, k, v, out_bshd: bool = False):
+        """Dense flash returns (B, S, H*D) when out_bshd (the inverse head
+        transpose rides the kernel's out BlockSpec, -17 ms/step at FLUX
+        1024px) and uses the fixed-shift softmax (-27 ms/step, and *more*
+        accurate than online vs the f64 oracle — ops/attention.py). The
+        block-sparse path keeps (B, H, S, D)."""
         if getattr(self, "sparsity_ratio", 0.0) > 0.0:
             return block_sparse_attention(q, k, v, sparsity_ratio=self.sparsity_ratio)
-        return flash_attention(q, k, v)
+        return flash_attention(
+            q, k, v, out_bshd=out_bshd,
+            fixed_softmax=getattr(self, "fixed_softmax", True),
+        )
 
     def __call__(self, hidden, encoder_hidden=None, rot=None, ip_kv=None):
         """Dual: returns (img_attn_out, txt_attn_out[, ip_attn_out]).
@@ -282,10 +301,13 @@ class FluxAttention(Module):
                 "half-split rope table with the unfused path: rot must be the "
                 "interleaved (S, D/2, 2) table unless prep_fused is active"
             )
+        sparse = getattr(self, "sparsity_ratio", 0.0) > 0.0
         if encoder_hidden is None:
             q, k, v = qkv_norm_rope(qkv, self.head_dim, self.norm_q, self.norm_k, rot)
-            o = self._attend(q, k, v)
-            return o.transpose(0, 2, 1, 3).reshape(b, s_img, -1)
+            o = self._attend(q, k, v, out_bshd=not sparse)
+            if sparse:
+                o = o.transpose(0, 2, 1, 3).reshape(b, s_img, -1)
+            return o
 
         s_txt = encoder_hidden.shape[1]
         qkv_txt = self.add_qkv_proj(encoder_hidden)
@@ -298,8 +320,9 @@ class FluxAttention(Module):
         q = jnp.concatenate([q_t, q_i], axis=2)
         k = jnp.concatenate([k_t, k_i], axis=2)
         v = jnp.concatenate([v_t, v_i], axis=2)
-        o = self._attend(q, k, v)
-        o = o.transpose(0, 2, 1, 3).reshape(b, s_txt + s_img, -1)
+        o = self._attend(q, k, v, out_bshd=not sparse)
+        if sparse:
+            o = o.transpose(0, 2, 1, 3).reshape(b, s_txt + s_img, -1)
         txt_o, img_o = o[:, :s_txt], o[:, s_txt:]
         # to_out / to_add_out are row-parallel under TP: partial sums reduce
         # over the mesh (Megatron pairing, all compute stays on ICI)
