@@ -39,6 +39,7 @@ def qkv_norm_rope(
     norm_k: jnp.ndarray | None,
     rot: jnp.ndarray | None,
     eps: float = 1e-6,
+    prescale: float = 1.0,
 ):
     """(B, S, 3HD) fused-qkv output -> per-head q, k, v (B, H, S, D).
 
@@ -49,6 +50,10 @@ def qkv_norm_rope(
     transposed: 161 TF/s in-model).
     The head count comes from the array shape: under tensor parallelism
     (heads sharded over the mesh) this sees the local head count.
+
+    ``prescale`` folds softmax-scale * log2(e) into q here (free inside
+    this fused elementwise chain) so the flash kernel skips its per-logit
+    scale multiply — one full f32 VPU pass over all S^2 logits per head.
     """
     b, s, _ = qkv.shape
     heads = qkv.shape[-1] // 3 // head_dim
@@ -63,8 +68,10 @@ def qkv_norm_rope(
     if norm_k is not None:
         k = rmsnorm(k, norm_k, eps).astype(qkv.dtype)
     if rot is not None:
-        q = apply_rope(q, rot)
+        q = apply_rope(q, rot, scale=prescale)
         k = apply_rope(k, rot)
+    elif prescale != 1.0:
+        q = (q.astype(jnp.float32) * prescale).astype(qkv.dtype)
     return q, k, v
 
 
@@ -265,16 +272,17 @@ class FluxAttention(Module):
         txt_o, img_o = o[:, :s_txt], o[:, s_txt:]
         return (self._psum(self.to_out(img_o)), self._psum(self.to_add_out(txt_o)))
 
-    def _attend(self, q, k, v, out_bshd: bool = False):
+    def _attend(self, q, k, v, out_bshd: bool = False, prescaled: bool = False):
         """Dense flash returns (B, S, H*D) when out_bshd (the inverse head
         transpose rides the kernel's out BlockSpec, -17 ms/step at FLUX
         1024px) and uses the fixed-shift softmax (-27 ms/step, and *more*
-        accurate than online vs the f64 oracle — ops/attention.py). The
-        block-sparse path keeps (B, H, S, D)."""
+        accurate than online vs the f64 oracle — ops/attention.py).
+        ``prescaled``: softmax-scale * log2(e) was folded into q upstream.
+        The block-sparse path keeps (B, H, S, D)."""
         if getattr(self, "sparsity_ratio", 0.0) > 0.0:
             return block_sparse_attention(q, k, v, sparsity_ratio=self.sparsity_ratio)
         return flash_attention(
-            q, k, v, out_bshd=out_bshd,
+            q, k, v, scale=1.0 if prescaled else None, out_bshd=out_bshd,
             fixed_softmax=getattr(self, "fixed_softmax", True),
         )
 
@@ -302,9 +310,13 @@ class FluxAttention(Module):
                 "interleaved (S, D/2, 2) table unless prep_fused is active"
             )
         sparse = getattr(self, "sparsity_ratio", 0.0) > 0.0
+        prescale = 1.0 if sparse else LOG2E / math.sqrt(self.head_dim)
         if encoder_hidden is None:
-            q, k, v = qkv_norm_rope(qkv, self.head_dim, self.norm_q, self.norm_k, rot)
-            o = self._attend(q, k, v, out_bshd=not sparse)
+            q, k, v = qkv_norm_rope(
+                qkv, self.head_dim, self.norm_q, self.norm_k, rot,
+                prescale=prescale,
+            )
+            o = self._attend(q, k, v, out_bshd=not sparse, prescaled=not sparse)
             if sparse:
                 o = o.transpose(0, 2, 1, 3).reshape(b, s_img, -1)
             return o
@@ -313,14 +325,18 @@ class FluxAttention(Module):
         qkv_txt = self.add_qkv_proj(encoder_hidden)
         rot_txt = rot[:s_txt] if rot is not None else None
         rot_img = rot[s_txt:] if rot is not None else None
-        q_i, k_i, v_i = qkv_norm_rope(qkv, self.head_dim, self.norm_q, self.norm_k, rot_img)
+        q_i, k_i, v_i = qkv_norm_rope(
+            qkv, self.head_dim, self.norm_q, self.norm_k, rot_img,
+            prescale=prescale,
+        )
         q_t, k_t, v_t = qkv_norm_rope(
-            qkv_txt, self.head_dim, self.norm_added_q, self.norm_added_k, rot_txt
+            qkv_txt, self.head_dim, self.norm_added_q, self.norm_added_k, rot_txt,
+            prescale=prescale,
         )
         q = jnp.concatenate([q_t, q_i], axis=2)
         k = jnp.concatenate([k_t, k_i], axis=2)
         v = jnp.concatenate([v_t, v_i], axis=2)
-        o = self._attend(q, k, v, out_bshd=not sparse)
+        o = self._attend(q, k, v, out_bshd=not sparse, prescaled=not sparse)
         if sparse:
             o = o.transpose(0, 2, 1, 3).reshape(b, s_txt + s_img, -1)
         txt_o, img_o = o[:, :s_txt], o[:, s_txt:]
@@ -332,8 +348,10 @@ class FluxAttention(Module):
             hd = self.head_dim
             kip = k_ip.reshape(b, -1, heads_local, hd).transpose(0, 2, 1, 3)
             vip = v_ip.reshape(b, -1, heads_local, hd).transpose(0, 2, 1, 3)
+            # q_i already carries softmax-scale * log2(e) (prescale above)
             ip = flash_attention(q_i.astype(jnp.bfloat16), kip.astype(jnp.bfloat16),
-                                 vip.astype(jnp.bfloat16))
+                                 vip.astype(jnp.bfloat16),
+                                 scale=1.0 if not sparse else None)
             ip = ip.transpose(0, 2, 1, 3).reshape(b, s_img, -1)
             outs = outs + (ip,)
         return outs

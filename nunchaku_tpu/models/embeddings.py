@@ -34,11 +34,16 @@ def rope_table(ids: jnp.ndarray, axes_dim: tuple[int, ...], theta: int = 10000) 
     return jnp.concatenate(outs, axis=1)  # (S, D/2, 2)
 
 
-def apply_rope(x: jnp.ndarray, rot: jnp.ndarray) -> jnp.ndarray:
-    """x (..., S, D), rot (S, D/2, 2) -> rotated x (interleaved pairs)."""
+def apply_rope(x: jnp.ndarray, rot: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
+    """x (..., S, D), rot (S, D/2, 2) -> rotated x (interleaved pairs).
+
+    ``scale`` multiplies the result inside the fused chain (used to fold
+    the softmax scale into q for free)."""
     shape = x.shape
     xf = x.astype(jnp.float32).reshape(*shape[:-1], shape[-1] // 2, 2)
     cos, sin = rot[..., 0], rot[..., 1]
+    if scale != 1.0:
+        cos, sin = cos * scale, sin * scale
     x0, x1 = xf[..., 0], xf[..., 1]
     out = jnp.stack([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
     return out.reshape(shape).astype(x.dtype)

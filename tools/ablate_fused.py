@@ -44,6 +44,23 @@ elif mode == "fused-nofixed":
 elif mode == "fused-nobshd":
     A.flash_attention = override(out_bshd=False, out_bshd_emulate=True)
 
+import nunchaku_tpu.ops.gemm as G
+
+if mode == "xla-all":
+    G._int8_use_xla = lambda m, k, n: True
+elif mode == "pallas-all":
+    G._int8_use_xla = lambda m, k, n: False
+elif mode == "chain-on":
+    # keep the XLA dispatch for standalone GEMMs but let the fc1->fc2
+    # gelu-quant chain take the Pallas path
+    real = A._can_chain
+    A._can_chain = lambda fc1, fc2, m: (
+        getattr(fc1, "precision", None) == "int8"
+        and getattr(fc2, "precision", None) == "int8"
+        and fc1.logical_out == fc1.out_features
+        and fc2.logical_out == fc2.out_features
+    )
+
 from nunchaku_tpu.models.transformers.transformer_flux import FluxConfig, FluxTransformer2DModel
 from __graft_entry__ import _flux_inputs
 
