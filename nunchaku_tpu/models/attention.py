@@ -390,17 +390,15 @@ class FeedForward(Module):
 
 
 def _can_chain(fc1, fc2, m: int) -> bool:
-    from ..ops.gemm import _int8_use_xla
-
+    # in-model A/B (tools/ablate_fused.py chain-on): the Pallas GELU_QUANT
+    # chain beats XLA-fc1 + separate gelu/quantize by ~13 ms/step at FLUX
+    # 1024px — the bf16 intermediate's HBM round trip dominates the
+    # kernel-vs-XLA dot-rate difference
     return (
         getattr(fc1, "precision", None) == "int8"
         and getattr(fc2, "precision", None) == "int8"
         and fc1.logical_out == fc1.out_features
         and fc2.logical_out == fc2.out_features
-        # when fc1's shape routes to the XLA int8 path (2x MXU rate, ~2.8x
-        # the Pallas kernel), the unfused gelu+quantize round trip is
-        # cheaper than chaining the epilogue onto the slower Pallas dot
-        and not _int8_use_xla(m, fc1.in_features, fc1.out_features)
     )
 
 

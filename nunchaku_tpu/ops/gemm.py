@@ -355,15 +355,16 @@ _TUNED_INT8: dict = {}
 def _int8_use_xla(m: int, k: int, n: int) -> bool:
     """Dispatch: XLA dot_general vs the Pallas kernel for int8.
 
-    Measured on v5e (tools/tune_gemm_impl.py, dispatch-amortized): XLA's
-    int8 dot reaches the doubled int8 MXU rate — 199-274 TF/s at the large
-    FLUX shapes — where the hand-tiled Pallas loop caps at ~97. XLA loses
-    only on the small-product shapes: (4608,3072,3072) runs 69 vs Pallas 97,
-    and M=512 txt-stream GEMMs collapse to ~23 either way. Heuristic:
-    XLA whenever the MN product is large enough that XLA picks its fast
-    int8 kernel.
+    In-model A/B on the full FLUX step (tools/ablate_fused.py — standalone
+    probes over the axon tunnel are dispatch-polluted and unreliable):
+    routing EVERY standalone int8 GEMM to XLA's native int8 dot measured
+    9 ms/step faster than the large-shape-only heuristic, including the
+    M=512 txt-stream and (M,3072,3072) shapes the standalone sweep had
+    flagged as XLA-slow. The Pallas kernel remains for the fused
+    GELU->quantize chain (grouped-as producer/consumer), w4a8, int4, and
+    explicitly-tiled calls.
     """
-    return m >= 1024 and (n >= 9216 or k >= 9216)
+    return True
 
 
 def _gemm_w8a8_xla(qact, ascales, qweight, wscales, lora_act, proj_up, bias,
