@@ -24,7 +24,9 @@ from ..ops.attention import (
     block_sparse_attention,
     flash_attention,
     flash_attention_bshd,
+    flash_attention_i8,
     qkv_prepare,
+    quantize_qk,
 )
 from ..ops.gemm import svdq_gemm_w8a8_gelu_quant
 from ..ops.reference import GELU_SHIFT, rmsnorm
@@ -209,6 +211,8 @@ class FluxAttention(Module):
         # FIXED_SHIFT): faster and slightly more accurate than the online
         # rescan; set False to force the online-softmax kernel
         self.fixed_softmax = True
+        # int8 QK^T flash path (SageAttention-style per-token q/k scales)
+        self.attn_int8 = False
 
     @classmethod
     def random_init(cls, key, dim, heads, head_dim, joint=True, rank=32, precision="int4"):
@@ -281,6 +285,9 @@ class FluxAttention(Module):
         The block-sparse path keeps (B, H, S, D)."""
         if getattr(self, "sparsity_ratio", 0.0) > 0.0:
             return block_sparse_attention(q, k, v, sparsity_ratio=self.sparsity_ratio)
+        if prescaled and getattr(self, "attn_int8", False):
+            q8, qs, k8, ks = quantize_qk(q, k)
+            return flash_attention_i8(q8, qs, k8, ks, v, out_bshd=out_bshd)
         return flash_attention(
             q, k, v, scale=1.0 if prescaled else None, out_bshd=out_bshd,
             fixed_softmax=getattr(self, "fixed_softmax", True),

@@ -224,6 +224,50 @@ def _flash_kernel_fixed(
         o_ref[0] = (acc_scr[...] / l_scr[...][:, :1]).astype(o_ref.dtype)
 
 
+def _flash_kernel_fixed_i8(
+    q_ref, qs_ref, k_ref, ks_ref, v_ref, o_ref, l_scr, acc_scr,
+    *, kv_len: int
+):
+    """Fixed-shift softmax with int8 QK^T (SageAttention-style): q/k are
+    per-(head, token) int8 with f32 scales; the rank-1 scale product folds
+    into the exp2 traversal. PV stays bf16 (p is unbounded under the fixed
+    shift, so int8 P would need the online max back)."""
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (bq, d) int8
+    k = k_ref[0]  # (bkv, d) int8
+    v = v_ref[0]  # (bkv, d) bf16
+
+    s32 = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    s = s32.astype(jnp.float32) * qs_ref[0] * ks_ref[0]  # (bq,1) * (1,bkv)
+
+    bkv = k.shape[0]
+    if kv_len % bkv:
+        base = j * bkv
+        col = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+
+    p = jnp.exp2(jnp.minimum(s, FIXED_CAP) - FIXED_SHIFT)
+    l_scr[...] += jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
+    )
+    acc_scr[...] += jnp.dot(
+        p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nj - 1)
+    def _done():
+        o_ref[0] = (acc_scr[...] / l_scr[...][:, :1]).astype(o_ref.dtype)
+
+
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float, kv_len: int
 ):
@@ -287,7 +331,7 @@ def flash_attention(
     v: jnp.ndarray,
     *,
     scale: float | None = None,
-    bq: int = 768,
+    bq: int = 1536,
     bkv: int = 1536,
     out_bshd: bool = False,
     fixed_softmax: bool = False,
@@ -504,6 +548,112 @@ def _flash_kernel_bshd(
     @pl.when(j == nj - 1)
     def _done():
         o_ref[0] = (acc_scr[...] / l_scr[...][:, :1]).astype(o_ref.dtype)
+
+
+def quantize_qk(q: jnp.ndarray, k: jnp.ndarray):
+    """Per-(batch, head, token) int8 quantization of q and k for the int8
+    flash path. Returns (q8, qscale, k8, kscale); q ~ q8 * qscale[..., None].
+    Fuses into the prep elementwise chain (one extra reduce + round pass)."""
+
+    def one(t):
+        tf = t.astype(jnp.float32)
+        scale = jnp.max(jnp.abs(tf), axis=-1) / 127.0
+        rcp = jnp.where(scale == 0, 0.0, 1.0 / jnp.where(scale == 0, 1.0, scale))
+        t8 = jnp.clip(jnp.round(tf * rcp[..., None]), -127, 127).astype(jnp.int8)
+        return t8, scale
+
+    q8, qs = one(q)
+    k8, ks = one(k)
+    return q8, qs, k8, ks
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bq", "bkv", "out_bshd", "interpret")
+)
+def flash_attention_i8(
+    q8: jnp.ndarray,   # (B, H, S, D) int8 (log2-prescale folded pre-quant)
+    qs: jnp.ndarray,   # (B, H, S) f32
+    k8: jnp.ndarray,   # (B, H, S, D) int8
+    ks: jnp.ndarray,   # (B, H, S) f32
+    v: jnp.ndarray,    # (B, H, S, D) bf16
+    *,
+    bq: int = 768,
+    bkv: int = 1536,
+    out_bshd: bool = False,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Dense attention with int8 QK^T on the doubled-rate int8 MXU path and
+    the fixed-shift softmax. Logit contract: s = (q8 . k8) * qs_i * ks_j —
+    the softmax scale and log2(e) must be folded into q before quantization
+    (qkv_norm_rope prescale)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, h, sq, d = q8.shape
+    skv = k8.shape[2]
+
+    bq = min(bq, _round_up(sq, 128))
+    bkv = min(bkv, _round_up(skv, 128))
+    pq = (-sq) % bq
+    pkv = (-skv) % bkv
+    if pq:
+        q8 = jnp.pad(q8, ((0, 0), (0, 0), (0, pq), (0, 0)))
+        qs = jnp.pad(qs, ((0, 0), (0, 0), (0, pq)))
+    if pkv:
+        k8 = jnp.pad(k8, ((0, 0), (0, 0), (0, pkv), (0, 0)))
+        ks = jnp.pad(ks, ((0, 0), (0, 0), (0, pkv)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pkv), (0, 0)))
+
+    bh = b * h
+    q3 = q8.reshape(bh, sq + pq, d)
+    k3 = k8.reshape(bh, skv + pkv, d)
+    v3 = v.reshape(bh, skv + pkv, d)
+    # row scales as (bh, S, 1), col scales as (bh, 1, S): both block shapes
+    # then satisfy the last-two-dims tiling rule (trailing dim equal-to-array
+    # or 128-divisible)
+    qs2 = qs.reshape(bh, sq + pq, 1).astype(jnp.float32)
+    ks2 = ks.reshape(bh, 1, skv + pkv).astype(jnp.float32)
+
+    if out_bshd:
+        out_spec = pl.BlockSpec(
+            (1, bq, d), lambda g, i, j: (g // h, i, g % h), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((b, sq + pq, h * d), v.dtype)
+    else:
+        out_spec = pl.BlockSpec(
+            (1, bq, d), lambda g, i, j: (g, i, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((bh, sq + pq, d), v.dtype)
+
+    grid = (bh, (sq + pq) // bq, (skv + pkv) // bkv)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_fixed_i8, kv_len=skv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda g, i, j: (g, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, d), lambda g, i, j: (g, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv), lambda g, i, j: (g, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, d), lambda g, i, j: (g, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * (sq + pq) * (skv + pkv) * d,
+            bytes_accessed=bh * (sq + skv + sq * 2) * d + 2 * bh * skv * d,
+            transcendentals=bh * (sq + pq) * (skv + pkv),
+        ),
+        interpret=interpret,
+    )(q3, qs2, k3, ks2, v3)
+    if out_bshd:
+        return out[:, :sq]
+    return out[:, :sq].reshape(b, h, sq, d)
 
 
 def _round_up(x: int, m: int) -> int:

@@ -252,3 +252,32 @@ class TestGeluQuantChain:
         grouped = jnp.tile(asc, (2, 1))  # 2 identical k-groups of 256
         out = np.asarray(svdq_gemm_w4a4(qa, grouped, qw, ws, precision="int8"), np.float32)
         np.testing.assert_allclose(out, ref, rtol=2e-2, atol=1e-4)
+
+
+def test_flash_attention_i8_matches_oracle():
+    """int8-QK fixed-shift flash vs the f32 SDPA oracle (SageAttention-style
+    per-token scales; logit contract: scale*log2e folded into q pre-quant)."""
+    import math
+    from nunchaku_tpu.ops.attention import (
+        LOG2E, flash_attention_i8, quantize_qk, sdpa_reference,
+    )
+
+    rng = np.random.default_rng(5)
+    B, H, S, D = 1, 2, 384, 128
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.bfloat16)
+
+    qp = (q.astype(jnp.float32) * (LOG2E / math.sqrt(D))).astype(jnp.bfloat16)
+    q8, qs, k8, ks = quantize_qk(qp, k)
+    out = flash_attention_i8(q8, qs, k8, ks, v)
+    ref = sdpa_reference(q, k, v)
+    err = np.linalg.norm(np.asarray(out, np.float32) - np.asarray(ref, np.float32)) / np.linalg.norm(
+        np.asarray(ref, np.float32)
+    )
+    assert err < 3e-2, err
+
+    # bshd output layout matches the transposed default
+    o2 = flash_attention_i8(q8, qs, k8, ks, v, out_bshd=True)
+    o1 = np.asarray(out, np.float32).transpose(0, 2, 1, 3).reshape(B, S, H * D)
+    np.testing.assert_allclose(np.asarray(o2, np.float32), o1, rtol=0, atol=1e-6)

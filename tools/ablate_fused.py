@@ -39,6 +39,12 @@ def override(**force):
 
 if mode == "fixed":
     A.flash_attention = override(fixed_softmax=True)
+elif mode == "bkv2304":
+    A.flash_attention = override(bkv=2304)
+elif mode == "bq1536":
+    A.flash_attention = override(bq=1536)
+elif mode == "bq512":
+    A.flash_attention = override(bq=512)
 elif mode == "fused-nofixed":
     A.flash_attention = override(fixed_softmax=False)
 elif mode == "fused-nobshd":
@@ -68,6 +74,9 @@ cfg = FluxConfig(precision="int8")
 model = FluxTransformer2DModel.dummy_init(cfg)
 if mode.startswith("fused"):
     model = model.enable_fused_qkv_prep()
+if mode == "attn-i8":
+    model.transformer_blocks.attn.attn_int8 = True
+    model.single_transformer_blocks.attn.attn_int8 = True
 args = _flux_inputs(cfg, B=1, S_img=4096, S_txt=512)
 fwd = jax.jit(lambda m, *a: m(*a))
 out = fwd(model, *args)

@@ -35,12 +35,16 @@ def patch(level: int):
     import nunchaku_tpu.ops.gemm as G
 
     if level >= 1 and level < 3:
-        def fake_attend(self, q, k, v):
-            return q + k[:, :, :1, :] * 0 + v[:, :, :1, :] * 0
+        def fake_attend(self, q, k, v, out_bshd=False, prescaled=False):
+            o = q + k[:, :, :1, :] * 0 + v[:, :, :1, :] * 0
+            if out_bshd:
+                b, h, s, d = o.shape
+                o = o.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+            return o
         A.FluxAttention._attend = fake_attend
 
     if level >= 2 and level < 3:
-        def fake_prep(qkv, head_dim, norm_q, norm_k, rot, eps=1e-6):
+        def fake_prep(qkv, head_dim, norm_q, norm_k, rot, eps=1e-6, prescale=1.0):
             b, s, _ = qkv.shape
             heads = qkv.shape[-1] // 3 // head_dim
             q, k, v = jnp.split(qkv, 3, axis=-1)
