@@ -33,6 +33,9 @@ def main():
 
     cfg = FluxConfig(precision="int8")  # int8-MXU turbo mode (SVDQuant checkpoints requantized at load)
     model = FluxTransformer2DModel.dummy_init(cfg)
+    # turbo config: bf16 residual streams, matching the reference C++
+    # engine's bf16 hidden states (src/FluxModel.cpp)
+    model.set_stream_dtype(jnp.bfloat16)
     args = _flux_inputs(cfg, B=1, S_img=4096, S_txt=512)
 
     fwd = jax.jit(lambda m, *a: m(*a))

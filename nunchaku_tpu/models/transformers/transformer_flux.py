@@ -97,6 +97,10 @@ class FluxTransformerBlock(Module):
         )
 
     def __call__(self, img, txt, temb, rot, ip_kv=None, ip_scale: float = 1.0):
+        # residual math in f32; the carry is cast back to the stream dtype
+        # (f32 default; set_stream_dtype(bf16) halves stream HBM traffic
+        # like the reference's bf16 streams, src/FluxModel.cpp)
+        sdt = img.dtype
         norm_img, gate_msa, shift_mlp, scale_mlp, gate_mlp = self.norm1(img, temb)
         norm_txt, c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = self.norm1_context(
             txt, temb
@@ -106,17 +110,20 @@ class FluxTransformerBlock(Module):
         attn_img = tap("dual.attn_img", attn_img)
         attn_txt = tap("dual.attn_txt", attn_txt)
 
-        img = img + gate_msa[:, None] * attn_img.astype(jnp.float32)
+        img = (img + gate_msa[:, None] * attn_img.astype(jnp.float32)).astype(sdt)
         if len(attn_outs) == 3:  # IP-Adapter residual (transformer_flux_v2.py:238)
-            img = img + ip_scale * attn_outs[2].astype(jnp.float32)
+            img = (img + ip_scale * attn_outs[2].astype(jnp.float32)).astype(sdt)
         h = layer_norm(img) * (1.0 + scale_mlp[:, None]) + shift_mlp[:, None]
-        img = img + gate_mlp[:, None] * self.ff(h.astype(attn_img.dtype)).astype(jnp.float32)
+        img = (
+            img + gate_mlp[:, None] * self.ff(h.astype(attn_img.dtype)).astype(jnp.float32)
+        ).astype(sdt)
 
-        txt = txt + c_gate_msa[:, None] * attn_txt.astype(jnp.float32)
+        txt = (txt + c_gate_msa[:, None] * attn_txt.astype(jnp.float32)).astype(sdt)
         h = layer_norm(txt) * (1.0 + c_scale_mlp[:, None]) + c_shift_mlp[:, None]
-        txt = txt + c_gate_mlp[:, None] * self.ff_context(h.astype(attn_txt.dtype)).astype(
-            jnp.float32
-        )
+        txt = (
+            txt
+            + c_gate_mlp[:, None] * self.ff_context(h.astype(attn_txt.dtype)).astype(jnp.float32)
+        ).astype(sdt)
         return tap("dual.img_out", img), tap("dual.txt_out", txt)
 
 
@@ -160,7 +167,7 @@ class FluxSingleTransformerBlock(Module):
         out = self.attn_out(attn).astype(jnp.float32) + mlp.astype(jnp.float32)
         if self.tp_axis is not None:  # attn_out + mlp_fc2 are row-parallel
             out = jax.lax.psum(out, self.tp_axis)
-        return tap("single.out", x + gate[:, None] * out)
+        return tap("single.out", (x + gate[:, None] * out).astype(x.dtype))
 
 
 class FluxTransformer2DModel(Module):
@@ -263,13 +270,22 @@ class FluxTransformer2DModel(Module):
         return self
 
     # -- composable stages (the caching subsystem splits the graph here) ----
+    def set_stream_dtype(self, dtype) -> "FluxTransformer2DModel":
+        """Residual-stream carry dtype. f32 (default) accumulates the 57
+        gated block outputs losslessly; bf16 halves the stream's HBM
+        traffic (~10 ms/step at 1024px) at ~0.3% output drift — the
+        reference's C++ engine also carries bf16/fp16 streams."""
+        self._stream_dtype = jnp.dtype(dtype)
+        return self
+
     def embed(
         self, hidden_states, encoder_hidden_states, pooled_projections,
         timestep, img_ids, txt_ids, guidance=None,
     ):
-        """Input embeddings: -> (img f32, txt f32, temb bf16, rot)."""
-        img = self.x_embedder(hidden_states).astype(jnp.float32)
-        txt = self.context_embedder(encoder_hidden_states).astype(jnp.float32)
+        """Input embeddings: -> (img, txt (stream dtype), temb bf16, rot)."""
+        sdt = getattr(self, "_stream_dtype", jnp.float32)
+        img = self.x_embedder(hidden_states).astype(sdt)
+        txt = self.context_embedder(encoder_hidden_states).astype(sdt)
         temb = self.time_text_embed(timestep, pooled_projections, guidance)
         temb = temb.astype(jnp.bfloat16)
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)
@@ -291,7 +307,7 @@ class FluxTransformer2DModel(Module):
             block, c = layer
             im, tx = block(*carry, temb, rot)
             if c is not None:
-                im = im + c.astype(jnp.float32)
+                im = im + c.astype(im.dtype)
             return (im, tx), None
 
         (img, txt), _ = jax.lax.scan(body, (img, txt), (blocks, ctrl))
@@ -312,7 +328,7 @@ class FluxTransformer2DModel(Module):
             block, c = layer
             h = block(carry, temb, rot)
             if c is not None:
-                h = h.at[:, s_txt:].add(c.astype(jnp.float32))
+                h = h.at[:, s_txt:].add(c.astype(h.dtype))
             return h, None
 
         x, _ = jax.lax.scan(body, x, (blocks, ctrl))

@@ -52,6 +52,17 @@ elif mode == "fused-nobshd":
 
 import nunchaku_tpu.ops.gemm as G
 
+if mode.startswith("chain-t"):
+    # chain-t<bm>.<bn>.<bk>: force tiles for the gelu-quant chain kernel
+    bm, bn, bk = (int(x) for x in mode[7:].split("."))
+    real_chain = G.svdq_gemm_w8a8_gelu_quant
+
+    def forced(*a, **kw):
+        kw.update(bm=bm, bn=bn, bk=bk)
+        return real_chain(*a, **kw)
+
+    A.svdq_gemm_w8a8_gelu_quant = forced
+
 if mode == "xla-all":
     G._int8_use_xla = lambda m, k, n: True
 elif mode == "pallas-all":
@@ -87,3 +98,13 @@ for _ in range(n):
     out = fwd(model, *args)
 _ = float(jnp.sum(out.astype(jnp.float32)))
 print(f"[{mode}] forward: {(time.perf_counter()-t0)/n*1e3:.1f} ms", flush=True)
+
+if mode == "bf16-stream":
+    model.set_stream_dtype(jnp.bfloat16)
+    out = fwd(model, *args)
+    _ = float(jnp.sum(out.astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fwd(model, *args)
+    _ = float(jnp.sum(out.astype(jnp.float32)))
+    print(f"[bf16-stream] forward: {(time.perf_counter()-t0)/n*1e3:.1f} ms", flush=True)
