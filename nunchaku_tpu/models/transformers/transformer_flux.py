@@ -310,7 +310,10 @@ class FluxTransformer2DModel(Module):
                 im = im + c.astype(im.dtype)
             return (im, tx), None
 
-        (img, txt), _ = jax.lax.scan(body, (img, txt), (blocks, ctrl))
+        (img, txt), _ = jax.lax.scan(
+            body, (img, txt), (blocks, ctrl),
+            unroll=getattr(self, "_scan_unroll", 1),
+        )
         return img, txt
 
     def run_singles(self, x, temb, rot, s_txt, start=0, stop=None,
@@ -331,7 +334,9 @@ class FluxTransformer2DModel(Module):
                 h = h.at[:, s_txt:].add(c.astype(h.dtype))
             return h, None
 
-        x, _ = jax.lax.scan(body, x, (blocks, ctrl))
+        x, _ = jax.lax.scan(
+            body, x, (blocks, ctrl), unroll=getattr(self, "_scan_unroll", 1)
+        )
         return x
 
     def head(self, img, temb):

@@ -277,6 +277,15 @@ def _tanh_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
 
 
+def _tanh_gelu_bf16(x: jnp.ndarray) -> jnp.ndarray:
+    """tanh-approx GELU evaluated in bf16 (2x VPU rate)."""
+    c = jnp.bfloat16(0.7978845608028654)
+    a = jnp.bfloat16(0.044715)
+    half = jnp.bfloat16(0.5)
+    one = jnp.bfloat16(1.0)
+    return half * x * (one + jnp.tanh(c * (x + a * x * x * x)))
+
+
 def _gemm_w8a8_gelu_quant_kernel(
     *refs, has_lora, has_bias, act_unsigned_next, gelu_shift
 ):
@@ -330,6 +339,8 @@ def _gemm_w8a8_gelu_quant_kernel(
             )
         if has_bias:
             out = out + b_ref[...].astype(jnp.float32)
+        # (a bf16 tanh-gelu epilogue measured 8 ms/step SLOWER in-model —
+        # Mosaic upcasts bf16 transcendentals, so the casts are pure cost)
         g = _tanh_gelu(out)
         # next layer's lora_act partial on the raw (unshifted, unsmoothed)
         # activation — matches ops/quantize.py ordering
@@ -698,6 +709,8 @@ def svdq_gemm_w4a4(
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # allow deep-K tiles (explicit bk overrides); v5e VMEM is 128 MiB
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,

@@ -67,6 +67,25 @@ if mode == "xla-all":
     G._int8_use_xla = lambda m, k, n: True
 elif mode == "pallas-all":
     G._int8_use_xla = lambda m, k, n: False
+elif mode == "pallas-deep":
+    # Pallas for every int8 GEMM with full-depth K tiles
+    G._int8_use_xla = lambda m, k, n: False
+    real_gemm = G.svdq_gemm_w4a4
+
+    def deep(qact, ascales, qweight, wscales, *a, **kw):
+        if kw.get("precision") == "int8" and kw.get("bk") is None:
+            k = qact.shape[1]
+            for cand in (3072, 1536):
+                if k % cand == 0:
+                    kw["bk"] = cand
+                    break
+        return real_gemm(qact, ascales, qweight, wscales, *a, **kw)
+
+    G.svdq_gemm_w4a4 = deep
+    import nunchaku_tpu.models.linear as L
+
+    L.svdq_gemm_w4a4 = deep
+
 elif mode == "chain-on":
     # keep the XLA dispatch for standalone GEMMs but let the fc1->fc2
     # gelu-quant chain take the Pallas path
@@ -88,6 +107,11 @@ if mode.startswith("fused"):
 if mode == "attn-i8":
     model.transformer_blocks.attn.attn_int8 = True
     model.single_transformer_blocks.attn.attn_int8 = True
+if mode == "unroll2":
+    model._scan_unroll = 2
+if mode == "unroll2-bf16":
+    model._scan_unroll = 2
+    model.set_stream_dtype(jnp.bfloat16)
 args = _flux_inputs(cfg, B=1, S_img=4096, S_txt=512)
 fwd = jax.jit(lambda m, *a: m(*a))
 out = fwd(model, *args)

@@ -79,10 +79,20 @@ def patch(level: int):
         L.quantize_w4a4_act_fuse_lora = fake_quant
 
     if level >= 5:
+        real_gemm = G.svdq_gemm_w4a4
+        keep_grouped = os.environ.get("BUDGET_KEEP_GROUPED") == "1"
+
         def fake_gemm(qact, ascales, qweight, wscales, lora_act=None,
                       proj_up=None, bias=None, rescales=None, *, precision="int4",
                       act_unsigned=False, out_dtype=jnp.bfloat16,
                       bm=None, bn=None, bk=None, interpret=None):
+            if keep_grouped and ascales.ndim == 2 and ascales.shape[0] > 1:
+                # grouped-as consumer (the gelu-chain's fc2): run for real
+                return real_gemm(
+                    qact, ascales, qweight, wscales, lora_act, proj_up, bias,
+                    rescales, precision=precision, act_unsigned=act_unsigned,
+                    out_dtype=out_dtype, bm=bm, bn=bn, bk=bk, interpret=interpret,
+                )
             m = qact.shape[0]
             n = qweight.shape[1]
             dep = (jnp.max(qact).astype(jnp.float32)
