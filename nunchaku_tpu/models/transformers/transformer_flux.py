@@ -35,6 +35,8 @@ from ..normalization import (
     AdaLayerNormContinuous,
     AdaLayerNormZero,
     AdaLayerNormZeroSingle,
+    batched_adaln_mod,
+    can_batch_mod,
     layer_norm,
 )
 
@@ -96,14 +98,23 @@ class FluxTransformerBlock(Module):
             FeedForward.random_init(ks[4], dim, rank=cfg.rank, precision=cfg.precision),
         )
 
-    def __call__(self, img, txt, temb, rot, ip_kv=None, ip_scale: float = 1.0):
+    def __call__(self, img, txt, temb, rot, ip_kv=None, ip_scale: float = 1.0,
+                 mods=None):
         # residual math in f32; the carry is cast back to the stream dtype
         # (f32 default; set_stream_dtype(bf16) halves stream HBM traffic
         # like the reference's bf16 streams, src/FluxModel.cpp)
+        # ``mods``: precomputed (mod1, mod1c) AdaLN modulation vectors —
+        # temb is layer-invariant, so the scan hoists their GEMMs
+        # (normalization.py batched_adaln_mod)
         sdt = img.dtype
-        norm_img, gate_msa, shift_mlp, scale_mlp, gate_mlp = self.norm1(img, temb)
+        m1 = m1c = None
+        if mods is not None:
+            m1, m1c = mods
+        norm_img, gate_msa, shift_mlp, scale_mlp, gate_mlp = self.norm1(
+            img, temb, mod=m1
+        )
         norm_txt, c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = self.norm1_context(
-            txt, temb
+            txt, temb, mod=m1c
         )
         attn_outs = self.attn(norm_img, norm_txt, rot, ip_kv=ip_kv)
         attn_img, attn_txt = attn_outs[0], attn_outs[1]
@@ -160,8 +171,8 @@ class FluxSingleTransformerBlock(Module):
             SVDQW4A4Linear.random_init(ks[4], dim, dim, rank=cfg.rank, precision=cfg.precision),
         )
 
-    def __call__(self, x, temb, rot):
-        norm_x, gate = self.norm(x, temb)
+    def __call__(self, x, temb, rot, mod=None):
+        norm_x, gate = self.norm(x, temb, mod=mod)
         attn = self.attn(norm_x, None, rot)
         mlp = gelu_mlp(self.mlp_fc1, self.mlp_fc2, norm_x)
         out = self.attn_out(attn).astype(jnp.float32) + mlp.astype(jnp.float32)
@@ -270,6 +281,16 @@ class FluxTransformer2DModel(Module):
         return self
 
     # -- composable stages (the caching subsystem splits the graph here) ----
+    def set_hoist_mods(self, on: bool = True) -> "FluxTransformer2DModel":
+        """Compute every layer's AdaLN modulation in one batched GEMM
+        before the scan (normalization.batched_adaln_mod) instead of
+        per-layer M=1 GEMMs inside it. OFF by default: measured +22 ms on
+        one v5e — the in-scan mod GEMMs' weight DMA overlaps preceding
+        compute, while the hoisted einsums serialize. Useful under TP
+        (mod weights replicated) or future schedulers."""
+        self._hoist_mods = bool(on)
+        return self
+
     def set_stream_dtype(self, dtype) -> "FluxTransformer2DModel":
         """Residual-stream carry dtype. f32 (default) accumulates the 57
         gated block outputs losslessly; bf16 halves the stream's HBM
@@ -302,16 +323,24 @@ class FluxTransformer2DModel(Module):
         ctrl = _expand_controlnet(controlnet_block_samples, self.cfg.num_layers)
         if ctrl is not None:
             ctrl = ctrl[start:stop]
+        mods = None
+        if getattr(self, "_hoist_mods", False) and can_batch_mod(
+            self.transformer_blocks.norm1.linear
+        ):
+            mods = (
+                batched_adaln_mod(self.transformer_blocks.norm1.linear, temb)[start:stop],
+                batched_adaln_mod(self.transformer_blocks.norm1_context.linear, temb)[start:stop],
+            )
 
         def body(carry, layer):
-            block, c = layer
-            im, tx = block(*carry, temb, rot)
+            block, c, m = layer
+            im, tx = block(*carry, temb, rot, mods=m)
             if c is not None:
                 im = im + c.astype(im.dtype)
             return (im, tx), None
 
         (img, txt), _ = jax.lax.scan(
-            body, (img, txt), (blocks, ctrl),
+            body, (img, txt), (blocks, ctrl, mods),
             unroll=getattr(self, "_scan_unroll", 1),
         )
         return img, txt
@@ -326,16 +355,23 @@ class FluxTransformer2DModel(Module):
         )
         if ctrl is not None:
             ctrl = ctrl[start:stop]
+        mods = None
+        if getattr(self, "_hoist_mods", False) and can_batch_mod(
+            self.single_transformer_blocks.norm.linear
+        ):
+            mods = batched_adaln_mod(
+                self.single_transformer_blocks.norm.linear, temb
+            )[start:stop]
 
         def body(carry, layer):
-            block, c = layer
-            h = block(carry, temb, rot)
+            block, c, m = layer
+            h = block(carry, temb, rot, mod=m)
             if c is not None:
                 h = h.at[:, s_txt:].add(c.astype(h.dtype))
             return h, None
 
         x, _ = jax.lax.scan(
-            body, x, (blocks, ctrl), unroll=getattr(self, "_scan_unroll", 1)
+            body, x, (blocks, ctrl, mods), unroll=getattr(self, "_scan_unroll", 1)
         )
         return x
 

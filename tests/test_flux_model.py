@@ -166,3 +166,26 @@ def test_bf16_stream_close_to_f32(model):
     # engine carries bf16 streams as well (real-checkpoint quality is gated
     # by the LPIPS golden harness, tests/test_golden.py)
     assert err < 1e-1, err
+
+
+def test_batched_adaln_mod_matches_per_layer():
+    """normalization.batched_adaln_mod == looping the stacked int8 SVDQ
+    modulation linear layer by layer (the hoisted-out-of-scan fast path)."""
+    from nunchaku_tpu.models.normalization import batched_adaln_mod, can_batch_mod
+    from nunchaku_tpu.models.transformers.transformer_flux import slice_module
+
+    m = FluxTransformer2DModel.random_init(
+        jax.random.PRNGKey(0),
+        FluxConfig(num_layers=3, num_single_layers=2, num_attention_heads=2,
+                   joint_attention_dim=512, pooled_projection_dim=256,
+                   precision="int8"),
+    )
+    lin = m.transformer_blocks.norm1.linear
+    assert can_batch_mod(lin)
+    temb = jax.random.normal(jax.random.PRNGKey(1), (1, 256), jnp.bfloat16)
+    batched = np.asarray(batched_adaln_mod(lin, temb), np.float32)
+    x = jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype)
+    for i in range(3):
+        ref = np.asarray(slice_module(lin, i)(x), np.float32)
+        err = np.linalg.norm(batched[i] - ref) / (np.linalg.norm(ref) + 1e-9)
+        assert err < 2e-2, (i, err)

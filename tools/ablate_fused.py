@@ -65,6 +65,8 @@ if mode.startswith("chain-t"):
 
 if mode == "xla-all":
     G._int8_use_xla = lambda m, k, n: True
+elif mode == "small-pallas":
+    G._int8_use_xla = lambda m, k, n: m > 768
 elif mode == "pallas-all":
     G._int8_use_xla = lambda m, k, n: False
 elif mode == "pallas-deep":

@@ -81,13 +81,16 @@ def patch(level: int):
     if level >= 5:
         real_gemm = G.svdq_gemm_w4a4
         keep_grouped = os.environ.get("BUDGET_KEEP_GROUPED") == "1"
+        only_small = os.environ.get("BUDGET_ONLY_SMALL") == "1"
 
         def fake_gemm(qact, ascales, qweight, wscales, lora_act=None,
                       proj_up=None, bias=None, rescales=None, *, precision="int4",
                       act_unsigned=False, out_dtype=jnp.bfloat16,
                       bm=None, bn=None, bk=None, interpret=None):
-            if keep_grouped and ascales.ndim == 2 and ascales.shape[0] > 1:
-                # grouped-as consumer (the gelu-chain's fc2): run for real
+            keep = keep_grouped and ascales.ndim == 2 and ascales.shape[0] > 1
+            if only_small and qact.shape[0] > 768:
+                keep = True  # stub ONLY the small-M (txt-stream) GEMMs
+            if keep:
                 return real_gemm(
                     qact, ascales, qweight, wscales, lora_act, proj_up, bias,
                     rescales, precision=precision, act_unsigned=act_unsigned,

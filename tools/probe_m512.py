@@ -85,13 +85,16 @@ def pallas_mm(a, w, bm, bn, bk, kern, acc_dtype):
     )(a, w)
 
 
-def timeit(f, n=6):
+def timeit(f, n=8):
+    # block_until_ready does NOT synchronize through the axon tunnel;
+    # only value materialization does
     r = f()
-    jax.block_until_ready(r)
+    _ = float(jnp.sum(r.astype(jnp.float32)))
     t0 = time.perf_counter()
-    for _ in range(n):
+    for _ in range(n - 1):
         r = f()
-    jax.block_until_ready(r)
+    r = f()
+    _ = float(jnp.sum(r.astype(jnp.float32)))
     return (time.perf_counter() - t0) / n
 
 
@@ -100,7 +103,9 @@ def scan_over(fn):
     def g(qa, wstack):
         def body(c, w):
             o = fn(qa, w)
-            return c + o[:1, :1].astype(jnp.float32), None
+            # consume the FULL output (a [0,0] slice lets XLA narrow the
+            # dot itself to one column)
+            return c + jnp.sum(o.astype(jnp.float32)) * 1e-9, None
         c, _ = jax.lax.scan(body, jnp.zeros((1, 1), jnp.float32), wstack)
         return c
     return lambda: g(qa, wstack)
