@@ -72,6 +72,17 @@ class Module:
         object.__setattr__(obj, "_dyn_keys", frozenset(dyn_keys))
         return obj
 
+    def register_dynamic(self, *names: str) -> None:
+        """Add attribute names to the pinned dynamic-children set.
+
+        Modules produced by jax.tree.map (e.g. stack_modules) pin their
+        pytree children (``_dyn_keys``); attributes added afterwards would
+        otherwise flatten as static aux — arrays would bake into the jit
+        treedef instead of riding the scan/jit as leaves."""
+        pinned = self.__dict__.get("_dyn_keys")
+        if pinned is not None:
+            object.__setattr__(self, "_dyn_keys", frozenset(pinned) | set(names))
+
     # -- parameter registry --------------------------------------------------
     def named_parameters(self, prefix: str = "") -> Iterator[tuple[str, jax.Array]]:
         """Yield ``(dotted_name, array)`` pairs, depth-first."""

@@ -31,7 +31,7 @@ from ..ops.attention import (
 from ..ops.gemm import svdq_gemm_w8a8_gelu_quant
 from ..ops.reference import GELU_SHIFT, rmsnorm
 from .embeddings import apply_rope
-from .linear import SVDQW4A4Linear
+from .linear import DualStreamLinear, SVDQW4A4Linear
 
 
 def qkv_norm_rope(
@@ -299,12 +299,23 @@ class FluxAttention(Module):
         adds IP-Adapter image cross-attention using the image-stream query
         (reference ip_adapter/utils.py:25-491)."""
         b, s_img, _ = hidden.shape
-        qkv = self.to_qkv(hidden)
+        merged = (
+            encoder_hidden is not None
+            and getattr(self, "qkv_merged", None) is not None
+        )
+        if merged:
+            s_txt = encoder_hidden.shape[1]
+            qkv_joint = self.qkv_merged(encoder_hidden, hidden)
+            qkv_txt = qkv_joint[:, :s_txt]
+            qkv = qkv_joint[:, s_txt:]
+        else:
+            qkv = self.to_qkv(hidden)
         heads_local = qkv.shape[-1] // 3 // self.head_dim
         fused = (
             getattr(self, "prep_fused", False)
             and getattr(self, "sparsity_ratio", 0.0) == 0.0
             and ip_kv is None
+            and not merged
             and isinstance(rot, tuple)
         )
         if fused:
@@ -329,7 +340,8 @@ class FluxAttention(Module):
             return o
 
         s_txt = encoder_hidden.shape[1]
-        qkv_txt = self.add_qkv_proj(encoder_hidden)
+        if not merged:
+            qkv_txt = self.add_qkv_proj(encoder_hidden)
         rot_txt = rot[:s_txt] if rot is not None else None
         rot_img = rot[s_txt:] if rot is not None else None
         q_i, k_i, v_i = qkv_norm_rope(
@@ -347,9 +359,13 @@ class FluxAttention(Module):
         if sparse:
             o = o.transpose(0, 2, 1, 3).reshape(b, s_txt + s_img, -1)
         txt_o, img_o = o[:, :s_txt], o[:, s_txt:]
-        # to_out / to_add_out are row-parallel under TP: partial sums reduce
-        # over the mesh (Megatron pairing, all compute stays on ICI)
-        outs = (self._psum(self.to_out(img_o)), self._psum(self.to_add_out(txt_o)))
+        if merged:
+            out_joint = self.out_merged(txt_o, img_o)
+            outs = (out_joint[:, s_txt:], out_joint[:, :s_txt])
+        else:
+            # to_out / to_add_out are row-parallel under TP: partial sums
+            # reduce over the mesh (Megatron pairing, compute stays on ICI)
+            outs = (self._psum(self.to_out(img_o)), self._psum(self.to_add_out(txt_o)))
         if ip_kv is not None:
             k_ip, v_ip = ip_kv
             hd = self.head_dim

@@ -273,6 +273,96 @@ class SVDQW4A4Linear(Module):
         return out[:m].reshape(*lead, out.shape[-1])
 
 
+class DualStreamLinear(Module):
+    """One GEMM for a txt/img pair of int8 SVDQ linears over the joint
+    [txt; img] row concat.
+
+    The FLUX dual block runs every projection twice — a (512, K, N) txt
+    GEMM and a (4096, K, N) img GEMM. The M=512 GEMMs carry a ~0.8-3 ms
+    fixed cost per call on v5e (MXU weight-load dominated at small M; both
+    the XLA and Pallas int8 paths hit it — tools/probe_m512_matrix.py), so
+    the dual-stream standalone GEMMs cost >100 ms of a ~390 ms FLUX step.
+    Merging N-concatenates the two weight matrices and runs ONE (4608, K,
+    2N) GEMM over the joint rows; each row keeps its own stream's half via
+    a select. 2x the MACs, but one well-shaped GEMM instead of two calls.
+
+    No weight requantization is needed: each row's int8 codes already
+    carry its own stream's smooth factor, and the weights stay exactly as
+    loaded — txt rows select the txt-weight half, img rows the img half.
+    The low-rank branches stay separated by a block-diagonal proj_up, and
+    per-stream biases ride their own N-half.
+    """
+
+    def __init__(self, lin_a: "SVDQW4A4Linear", lin_b: "SVDQW4A4Linear"):
+        if not (lin_a.precision == lin_b.precision == "int8"):
+            raise ValueError("DualStreamLinear supports the int8 turbo path")
+        if lin_a.qweight.shape != lin_b.qweight.shape:
+            raise ValueError("stream pair must have identical shapes")
+        cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
+        self.qweight = cat(lin_a.qweight, lin_b.qweight)
+        self.wscales = cat(lin_a.wscales, lin_b.wscales)
+        pu_a, pu_b = lin_a.proj_up, lin_b.proj_up
+        za = jnp.zeros_like(pu_a)
+        zb = jnp.zeros_like(pu_b)
+        # block-diag (R_a+R_b, N_a+N_b): stream a's rank rows feed only the
+        # a-half columns (leading stacked axes broadcast through)
+        self.proj_up = jnp.concatenate(
+            [cat(pu_a, za), cat(zb, pu_b)], axis=-2
+        )
+        if (lin_a.bias is None) != (lin_b.bias is None):
+            raise ValueError("stream pair bias mismatch")
+        self.bias = None if lin_a.bias is None else cat(lin_a.bias, lin_b.bias)
+        self.smooth_a = lin_a.smooth
+        self.pd_a = lin_a.proj_down
+        self.smooth_b = lin_b.smooth
+        self.pd_b = lin_b.proj_down
+        self.n_half = lin_a.out_features
+        self.rank_a = lin_a.rank
+        self.precision = "int8"
+
+    def __call__(self, xa: jnp.ndarray, xb: jnp.ndarray) -> jnp.ndarray:
+        """xa (B, Sa, K), xb (B, Sb, K) -> joint (B, Sa+Sb, N): rows < Sa
+        are stream a's projection, the rest stream b's."""
+        b, sa, k = xa.shape
+        sb = xb.shape[1]
+        sj = sa + sb
+        n = self.n_half
+
+        qa, sca, laa = quantize_w4a4_act_fuse_lora(
+            xa.reshape(b * sa, k), self.pd_a, self.smooth_a, precision="int8"
+        )
+        qb, scb, lab = quantize_w4a4_act_fuse_lora(
+            xb.reshape(b * sb, k), self.pd_b, self.smooth_b, precision="int8"
+        )
+        # quantize pads rows; slice back before the per-batch concat
+        qa, sca, laa = qa[: b * sa], sca[:, : b * sa], laa[: b * sa]
+        qb, scb, lab = qb[: b * sb], scb[:, : b * sb], lab[: b * sb]
+
+        qcat = jnp.concatenate(
+            [qa.reshape(b, sa, k), qb.reshape(b, sb, k)], axis=1
+        ).reshape(b * sj, k)
+        sccat = jnp.concatenate(
+            [sca.reshape(b, sa), scb.reshape(b, sb)], axis=1
+        ).reshape(1, b * sj)
+        ra, rb = laa.shape[-1], lab.shape[-1]
+        laa_f = jnp.pad(laa.reshape(b, sa, ra), ((0, 0), (0, 0), (0, rb)))
+        lab_f = jnp.pad(lab.reshape(b, sb, rb), ((0, 0), (0, 0), (ra, 0)))
+        lacat = jnp.concatenate([laa_f, lab_f], axis=1).reshape(b * sj, ra + rb)
+
+        pad = (-(b * sj)) % PAD_TOKENS
+        if pad:
+            qcat = jnp.pad(qcat, ((0, pad), (0, 0)))
+            sccat = jnp.pad(sccat, ((0, 0), (0, pad)))
+            lacat = jnp.pad(lacat, ((0, pad), (0, 0)))
+
+        out = svdq_gemm_w4a4(
+            qcat, sccat, self.qweight, self.wscales, lacat, self.proj_up,
+            self.bias, precision="int8",
+        )[: b * sj].reshape(b, sj, 2 * n)
+        row_a = (jnp.arange(sj) < sa)[None, :, None]
+        return jnp.where(row_a, out[..., :n], out[..., n:])
+
+
 class AWQW4A16Linear(Module):
     """Weight-only 4-bit linear (AWQ-style) for small-M modulation layers.
 

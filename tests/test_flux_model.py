@@ -189,3 +189,23 @@ def test_batched_adaln_mod_matches_per_layer():
         ref = np.asarray(slice_module(lin, i)(x), np.float32)
         err = np.linalg.norm(batched[i] - ref) / (np.linalg.norm(ref) + 1e-9)
         assert err < 2e-2, (i, err)
+
+
+def test_merged_dual_streams_matches_unmerged():
+    """merge_dual_streams(): one joint GEMM per dual projection pair must
+    match the separate txt/img GEMMs (same int8 codes and weights — only
+    float-accumulation order and the lora block-diag differ)."""
+    cfg = FluxConfig(
+        num_layers=2, num_single_layers=1, num_attention_heads=2,
+        joint_attention_dim=512, pooled_projection_dim=256, precision="int8",
+    )
+    base = FluxTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+    merged = FluxTransformer2DModel.random_init(
+        jax.random.PRNGKey(0), cfg
+    ).merge_dual_streams()
+    args = _inputs()
+    f = jax.jit(lambda m, *a: m(*a))
+    ref = np.asarray(f(base, *args), np.float32)
+    out = np.asarray(f(merged, *args), np.float32)
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert err < 1e-2, err

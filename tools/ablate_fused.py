@@ -134,3 +134,15 @@ if mode == "bf16-stream":
         out = fwd(model, *args)
     _ = float(jnp.sum(out.astype(jnp.float32)))
     print(f"[bf16-stream] forward: {(time.perf_counter()-t0)/n*1e3:.1f} ms", flush=True)
+
+if mode in ("merged", "merged-bf16"):
+    model.merge_dual_streams()
+    if mode == "merged-bf16":
+        model.set_stream_dtype(jnp.bfloat16)
+    out = fwd(model, *args)
+    _ = float(jnp.sum(out.astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fwd(model, *args)
+    _ = float(jnp.sum(out.astype(jnp.float32)))
+    print(f"[{mode}+] forward: {(time.perf_counter()-t0)/n*1e3:.1f} ms", flush=True)
