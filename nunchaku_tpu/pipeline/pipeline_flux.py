@@ -59,15 +59,28 @@ def make_img_ids(h_tokens: int, w_tokens: int) -> jnp.ndarray:
 )
 def _denoise_scanned(
     model, lat0, state0, pe, pool, g, cb, csb, img_ids, txt_ids, sig_pairs,
+    cond_seq=None, cond_ch=None,
     *, cache_kind, thresh, single_thresh, tea_thresh, num_steps,
 ):
     """Entire denoise loop as one device program (stable jit identity —
-    per-call closures would retrace + recompile every generation)."""
+    per-call closures would retrace + recompile every generation).
+
+    ``cond_seq`` (B, S_cond, 64): sequence-concat conditioning (FLUX
+    Kontext reference-image tokens, appended after the latent tokens with
+    the velocity sliced back — the reference serves this via diffusers'
+    FluxKontextPipeline). ``cond_ch`` (B, S_img, C): channel-concat
+    conditioning (flux-canny/depth control latents 64ch, flux-fill
+    masked-image+mask 320ch — BASELINE.md quality table variants)."""
     b = lat0.shape[0]
+    s_out = lat0.shape[1]
 
     def one_step(lat, st, sig, sig_next):
         t = jnp.full((b,), sig, jnp.float32)
         x = lat.astype(jnp.bfloat16)
+        if cond_ch is not None:
+            x = jnp.concatenate([x, cond_ch.astype(jnp.bfloat16)], axis=-1)
+        if cond_seq is not None:
+            x = jnp.concatenate([x, cond_seq.astype(jnp.bfloat16)], axis=1)
         if cache_kind in ("fb", "double_fb"):
             vel, st = fb_cached_forward(
                 model, st, x, pe, pool, t, img_ids, txt_ids, g,
@@ -91,6 +104,8 @@ def _denoise_scanned(
                 controlnet_block_samples=cb,
                 controlnet_single_block_samples=csb,
             )
+        if cond_seq is not None:
+            vel = vel[:, :s_out]
         return euler_step(lat, vel, sig, sig_next), st
 
     def body(carry, sig):
@@ -137,6 +152,46 @@ class FluxPipeline:
         pooled = self.text_encoder(clip_ids)
         return prompt_embeds, pooled
 
+    # -- conditioning preparation (FLUX variants) ---------------------------
+    def encode_image_tokens(self, image: jnp.ndarray) -> jnp.ndarray:
+        """(B, H, W, 3) in [0, 1] -> packed latent tokens (B, S, 64)."""
+        if self.vae is None or self.vae.encoder is None:
+            raise ValueError("image conditioning needs a VAE with an encoder")
+        z = self.vae.encode(image.astype(jnp.bfloat16))
+        return pack_latents(z).astype(jnp.bfloat16)
+
+    def prepare_kontext(self, image: jnp.ndarray):
+        """FLUX.1-Kontext reference image -> (tokens, ids): the conditioning
+        tokens ride the sequence axis with rope frame index 1 (the model
+        attends to them; only the first S_img velocity rows integrate)."""
+        tokens = self.encode_image_tokens(image)
+        h2 = image.shape[1] // 16
+        w2 = image.shape[2] // 16
+        ids = make_img_ids(h2, w2).at[:, 0].set(1)
+        return tokens, ids
+
+    def prepare_control(self, control_image: jnp.ndarray) -> jnp.ndarray:
+        """flux-canny/depth conditioning: VAE-encoded control image packed
+        to (B, S_img, 64), channel-concatenated each step (in_channels 128)."""
+        return self.encode_image_tokens(control_image)
+
+    def prepare_fill(self, image: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """flux-fill conditioning (in_channels 384): masked-image latents
+        (64) + the binary mask 8x8-patchified to 256 channels.
+
+        image (B, H, W, 3) in [0,1]; mask (B, H, W) with 1 = inpaint."""
+        b, h, w = mask.shape
+        masked = image * (1.0 - mask[..., None])
+        img_tok = self.encode_image_tokens(masked)  # (B, S, 64)
+        m = mask.reshape(b, h // 8, 8, w // 8, 8)
+        m = m.transpose(0, 1, 3, 2, 4).reshape(b, h // 8, w // 8, 64)
+        # 2x2 latent patchify to token resolution -> 256 mask channels
+        m = m.reshape(b, h // 16, 2, w // 16, 2, 64)
+        m = m.transpose(0, 1, 3, 2, 4, 5).reshape(b, (h // 16) * (w // 16), 256)
+        return jnp.concatenate(
+            [img_tok, m.astype(jnp.bfloat16)], axis=-1
+        )  # (B, S, 320)
+
     def __call__(
         self,
         prompt=None,
@@ -154,6 +209,10 @@ class FluxPipeline:
         teacache_rel_l1_thresh: float = 0.6,
         controlnet_block_samples=None,
         controlnet_single_block_samples=None,
+        image: jnp.ndarray | None = None,  # Kontext reference (B, H, W, 3) in [0,1]
+        cond_tokens: jnp.ndarray | None = None,  # pre-packed seq conditioning
+        cond_ids: jnp.ndarray | None = None,
+        control_latents: jnp.ndarray | None = None,  # channel-concat (B, S_img, C)
         scan_steps: bool = True,  # False: python loop (per-step callbacks)
     ) -> FluxPipelineOutput:
         if prompt_embeds is None:
@@ -168,11 +227,21 @@ class FluxPipeline:
 
         if latents is None:
             key = jax.random.PRNGKey(seed)
-            lat = jax.random.normal(key, (b, cfg.in_channels // 4, lh, lw), jnp.float32)
+            # noise is always the 16-channel image latent; conditioning
+            # channels (fill 384, canny/depth 128 in_channels) come from
+            # control_latents at each step
+            lat = jax.random.normal(key, (b, cfg.out_channels // 4, lh, lw), jnp.float32)
             latents = pack_latents(lat).astype(jnp.bfloat16)
+
+        if image is not None:
+            cond_tokens, cond_ids = self.prepare_kontext(image)
 
         img_ids = make_img_ids(lh // 2, lw // 2)
         txt_ids = jnp.zeros((s_txt, 3), jnp.int32)
+        s_model = s_img
+        if cond_tokens is not None:
+            img_ids = jnp.concatenate([img_ids, cond_ids], axis=0)
+            s_model = s_img + cond_tokens.shape[1]
         sigmas = flux_sigmas(num_inference_steps, image_seq_len=s_img)
         guidance = (
             jnp.full((b,), guidance_scale, jnp.float32)
@@ -182,12 +251,16 @@ class FluxPipeline:
 
         if scan_steps:
             if cache in ("fb", "double_fb"):
-                state = init_fb_state(b, s_img, s_txt, cfg.dim)
+                state = init_fb_state(b, s_model, s_txt, cfg.dim)
             elif cache == "teacache":
-                state = init_teacache_state(b, s_img, cfg.dim)
+                state = init_teacache_state(b, s_model, cfg.dim)
             else:
                 state = jnp.zeros(())
         else:
+            if cond_tokens is not None or control_latents is not None:
+                raise ValueError(
+                    "image/control conditioning requires scan_steps=True"
+                )
             step_fn, state = self._make_step(
                 cache, b, s_img, s_txt, num_inference_steps,
                 residual_diff_threshold, single_residual_diff_threshold,
@@ -203,6 +276,7 @@ class FluxPipeline:
                 model, lat_f, state, prompt_embeds, pooled_prompt_embeds,
                 guidance, controlnet_block_samples, controlnet_single_block_samples,
                 img_ids, txt_ids, sig_pairs,
+                cond_tokens, control_latents,
                 cache_kind=cache, thresh=residual_diff_threshold,
                 single_thresh=single_residual_diff_threshold,
                 tea_thresh=teacache_rel_l1_thresh,
