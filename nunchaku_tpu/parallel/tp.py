@@ -88,12 +88,19 @@ def _param_spec(name: str, shape: tuple, stacked: bool) -> P:
     return repl()
 
 
+_STACKED_PREFIXES = (
+    "transformer_blocks.",         # FLUX dual
+    "single_transformer_blocks.",  # FLUX single
+    "blocks.",                     # Qwen-Image MMDiT (same dual block)
+)
+
+
 def flux_param_specs(model) -> Module:
     """Tree of PartitionSpecs matching the model pytree."""
     flat = {name: arr for name, arr in model.named_parameters()}
 
     def build(name, arr):
-        stacked = name.startswith(("transformer_blocks.", "single_transformer_blocks."))
+        stacked = name.startswith(_STACKED_PREFIXES)
         return _param_spec(name, tuple(arr.shape), stacked)
 
     specs = {n: build(n, a) for n, a in flat.items()}
@@ -195,6 +202,45 @@ def parallelize(model, mesh: Mesh):
         in_specs=(specs,) + data_specs,
         out_specs=P("dp", None, None),
         check_vma=False,  # pallas_call outputs carry no vma info
+    )
+    def forward(m, *args):
+        return m(*args)
+
+    return sharded, forward
+
+
+def parallelize_qwenimage(model, mesh: Mesh):
+    """Shard a QwenImageTransformer2DModel over ``mesh`` (axes 'dp', 'tp').
+
+    Qwen's 60 blocks ARE FluxTransformerBlock (transformer_qwenimage.py),
+    so the Megatron column/row pairing, qkv column permutation, and
+    param-spec rules apply unchanged — only the forward signature differs
+    (hidden, encoder_hidden, timestep, img_ids, txt_ids)."""
+    tp = mesh.shape["tp"]
+    _set_tp_axis(model, "tp")
+    if tp > 1:
+        _reorder_qkv_columns(model, tp)
+        _scale_row_parallel_bias(model, tp)
+    specs = flux_param_specs(model)
+    sharded = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), model, specs
+    )
+
+    data_specs = (
+        P("dp", None, None),  # hidden_states
+        P("dp", None, None),  # encoder_hidden_states
+        P("dp"),  # timestep
+        P(None, None),  # img_ids
+        P(None, None),  # txt_ids
+    )
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(specs,) + data_specs,
+        out_specs=P("dp", None, None),
+        check_vma=False,
     )
     def forward(m, *args):
         return m(*args)

@@ -99,3 +99,41 @@ def test_tp_w4a8_mode():
     every attention projection under tp>1). Tolerance has teeth: with the
     rescale permutation err~=0.0025 on this config; without it ~0.0075."""
     _tp_mode_check("w4a8", tol=0.005)
+
+
+def test_qwenimage_tp_matches_single_device():
+    """Qwen-Image TP: same Megatron pairing as FLUX (shared dual block)."""
+    from nunchaku_tpu.models.transformers.transformer_qwenimage import (
+        QwenImageConfig,
+        QwenImageTransformer2DModel,
+    )
+    from nunchaku_tpu.parallel.tp import parallelize_qwenimage
+
+    cfg = QwenImageConfig(
+        num_layers=1, num_attention_heads=8, joint_attention_dim=512,
+    )
+    model = QwenImageTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+
+    B, S_img, S_txt = 2, 256, 128
+    ii = np.zeros((S_img, 3), np.int32)
+    ii[:, 1] = np.arange(S_img) // 16
+    ii[:, 2] = np.arange(S_img) % 16
+    args = (
+        jax.random.normal(jax.random.PRNGKey(1), (B, S_img, cfg.in_channels), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(2), (B, S_txt, 512), jnp.bfloat16),
+        jnp.full((B,), 0.5, jnp.float32),
+        jnp.asarray(ii),
+        jnp.zeros((S_txt, 3), jnp.int32),
+    )
+    ref = jax.jit(lambda m, *a: m(*a))(model, *args)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("dp", "tp"))
+    model2 = QwenImageTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+    sharded, fwd = parallelize_qwenimage(model2, mesh)
+    out = fwd(sharded, *args)
+    err = float(
+        jnp.linalg.norm((out - ref).astype(jnp.float32))
+        / jnp.linalg.norm(ref.astype(jnp.float32))
+    )
+    assert err < 2e-2, err

@@ -63,6 +63,21 @@ if mode.startswith("chain-t"):
 
     A.svdq_gemm_w8a8_gelu_quant = forced
 
+if mode == "poly-gelu":
+    # minimax-ish odd polynomial for tanh on [-4, 4], clamped; replaces the
+    # transcendental in the chain epilogue
+    def _poly_tanh_gelu(x):
+        c = 0.7978845608028654
+        u = c * (x + 0.044715 * x * x * x)
+        u = jnp.clip(u, -4.0, 4.0)
+        u2 = u * u
+        # tanh(u) ~ u*(a0 + u2*(a1 + u2*(a2 + u2*a3))) fitted on [-4,4]
+        t = u * (0.9996796 + u2 * (-0.3176925 + u2 * (0.0863689 + u2 * (-0.0110901))))
+        t = jnp.clip(t, -1.0, 1.0)
+        return 0.5 * x * (1.0 + t)
+
+    G._tanh_gelu = _poly_tanh_gelu
+
 if mode == "xla-all":
     G._int8_use_xla = lambda m, k, n: True
 elif mode == "small-pallas":
