@@ -284,7 +284,11 @@ class FluxAttention(Module):
         ``prescaled``: softmax-scale * log2(e) was folded into q upstream.
         The block-sparse path keeps (B, H, S, D)."""
         if getattr(self, "sparsity_ratio", 0.0) > 0.0:
-            return block_sparse_attention(q, k, v, sparsity_ratio=self.sparsity_ratio)
+            return block_sparse_attention(
+                q, k, v, sparsity_ratio=self.sparsity_ratio,
+                scale=1.0 if prescaled else None, out_bshd=out_bshd,
+                fixed_softmax=getattr(self, "fixed_softmax", True),
+            )
         if prescaled and getattr(self, "attn_int8", False):
             q8, qs, k8, ks = quantize_qk(q, k)
             return flash_attention_i8(q8, qs, k8, ks, v, out_bshd=out_bshd)
@@ -327,17 +331,13 @@ class FluxAttention(Module):
                 "half-split rope table with the unfused path: rot must be the "
                 "interleaved (S, D/2, 2) table unless prep_fused is active"
             )
-        sparse = getattr(self, "sparsity_ratio", 0.0) > 0.0
-        prescale = 1.0 if sparse else LOG2E / math.sqrt(self.head_dim)
+        prescale = LOG2E / math.sqrt(self.head_dim)
         if encoder_hidden is None:
             q, k, v = qkv_norm_rope(
                 qkv, self.head_dim, self.norm_q, self.norm_k, rot,
                 prescale=prescale,
             )
-            o = self._attend(q, k, v, out_bshd=not sparse, prescaled=not sparse)
-            if sparse:
-                o = o.transpose(0, 2, 1, 3).reshape(b, s_img, -1)
-            return o
+            return self._attend(q, k, v, out_bshd=True, prescaled=True)
 
         s_txt = encoder_hidden.shape[1]
         if not merged:
@@ -355,9 +355,7 @@ class FluxAttention(Module):
         q = jnp.concatenate([q_t, q_i], axis=2)
         k = jnp.concatenate([k_t, k_i], axis=2)
         v = jnp.concatenate([v_t, v_i], axis=2)
-        o = self._attend(q, k, v, out_bshd=not sparse, prescaled=not sparse)
-        if sparse:
-            o = o.transpose(0, 2, 1, 3).reshape(b, s_txt + s_img, -1)
+        o = self._attend(q, k, v, out_bshd=True, prescaled=True)
         txt_o, img_o = o[:, :s_txt], o[:, s_txt:]
         if merged:
             out_joint = self.out_merged(txt_o, img_o)
@@ -373,8 +371,7 @@ class FluxAttention(Module):
             vip = v_ip.reshape(b, -1, heads_local, hd).transpose(0, 2, 1, 3)
             # q_i already carries softmax-scale * log2(e) (prescale above)
             ip = flash_attention(q_i.astype(jnp.bfloat16), kip.astype(jnp.bfloat16),
-                                 vip.astype(jnp.bfloat16),
-                                 scale=1.0 if not sparse else None)
+                                 vip.astype(jnp.bfloat16), scale=1.0)
             ip = ip.transpose(0, 2, 1, 3).reshape(b, s_img, -1)
             outs = outs + (ip,)
         return outs

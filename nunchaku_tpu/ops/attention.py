@@ -685,6 +685,50 @@ def _round_up(x: int, m: int) -> int:
 POOL_SIZE = 128  # reference mask granularity (kept for the oracle/tests)
 
 
+def _bs_kernel_fixed(
+    idx_ref, q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr,
+    *, scale: float, kv_len: int, bkv: int
+):
+    """Fixed-shift-softmax variant of the block-sparse kernel (same
+    optimization as _flash_kernel_fixed: no online max/rescale passes)."""
+    g = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if scale != 1.0:
+        s = s * (scale * LOG2E)
+
+    if kv_len % bkv:
+        base = idx_ref[g, i, j] * bkv
+        col = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+
+    p = jnp.exp2(jnp.minimum(s, FIXED_CAP) - FIXED_SHIFT)
+    l_scr[...] += jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
+    )
+    acc_scr[...] += jnp.dot(
+        p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nj - 1)
+    def _done():
+        o_ref[0] = (acc_scr[...] / l_scr[...][:, :1]).astype(o_ref.dtype)
+
+
 def _bs_kernel(
     idx_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     *, scale: float, kv_len: int, bkv: int
@@ -707,7 +751,8 @@ def _bs_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * (scale * LOG2E)
+    if scale != 1.0:
+        s = s * (scale * LOG2E)
 
     if kv_len % bkv:
         # the selected block may be the ragged tail block: mask its padding
@@ -782,6 +827,8 @@ def block_sparse_attention(
     block_idx: jnp.ndarray | None = None,
     bq: int = 768,
     bkv: int = 1536,
+    out_bshd: bool = False,
+    fixed_softmax: bool = False,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Block-sparse non-causal attention over (B, H, S, D).
@@ -791,7 +838,8 @@ def block_sparse_attention(
     softmax normalizes over the selected blocks only (reference
     mha_fwd_block semantics at TPU-native tile granularity). ``block_idx``
     overrides the selection (tests / custom masks) and must be consistent
-    with (bq, bkv).
+    with (bq, bkv). ``scale=1.0`` means softmax-scale * log2(e) is already
+    folded into q; ``out_bshd``/``fixed_softmax`` mirror flash_attention.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -821,6 +869,28 @@ def block_sparse_attention(
     v3 = v.reshape(bh, skv + pkv, d)
     idx = block_idx.reshape(bh, nq, kk)
 
+    if out_bshd:
+        out_spec = pl.BlockSpec((1, bq, d), lambda g, i, j, idx: (g // h, i, g % h))
+        out_shape = jax.ShapeDtypeStruct((b, sq + pq, h * d), q.dtype)
+    else:
+        out_spec = pl.BlockSpec((1, bq, d), lambda g, i, j, idx: (g, i, 0))
+        out_shape = jax.ShapeDtypeStruct((bh, sq + pq, d), q.dtype)
+    if fixed_softmax:
+        kernel = functools.partial(
+            _bs_kernel_fixed, scale=scale, kv_len=skv, bkv=bkv
+        )
+        scratch = [
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(_bs_kernel, scale=scale, kv_len=skv, bkv=bkv)
+        scratch = [
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bh, nq, kk),
@@ -829,17 +899,13 @@ def block_sparse_attention(
             pl.BlockSpec((1, bkv, d), lambda g, i, j, idx: (g, idx[g, i, j], 0)),
             pl.BlockSpec((1, bkv, d), lambda g, i, j, idx: (g, idx[g, i, j], 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda g, i, j, idx: (g, i, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, d), jnp.float32),
-        ],
+        out_specs=out_spec,
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        functools.partial(_bs_kernel, scale=scale, kv_len=skv, bkv=bkv),
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bh, sq + pq, d), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -850,6 +916,8 @@ def block_sparse_attention(
         ),
         interpret=interpret,
     )(idx, q3, k3, v3)
+    if out_bshd:
+        return out[:, :sq]
     return out[:, :sq].reshape(b, h, sq, d)
 
 

@@ -149,7 +149,7 @@ class FluxPipeline:
         t5_ids = self.tokenizer_2(prompt, max_length)
         prompt_embeds = self.text_encoder_2(t5_ids)
         clip_ids = self.tokenizer(prompt, 77)
-        pooled = self.text_encoder(clip_ids)
+        pooled, _ = self.text_encoder(clip_ids)
         return prompt_embeds, pooled
 
     # -- conditioning preparation (FLUX variants) ---------------------------

@@ -5,6 +5,8 @@ debug taps instead); these tests are the dequant-matmul-oracle checks the
 survey recommends adding.
 """
 
+import math
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -13,6 +15,7 @@ import pytest
 from nunchaku_tpu.core.packing import pack_int4
 from nunchaku_tpu.ops import reference as R
 from nunchaku_tpu.ops.attention import (
+    LOG2E,
     block_sparse_attention,
     block_sparse_reference,
     flash_attention,
@@ -171,6 +174,25 @@ class TestBlockSparseAttention:
             q, k, v, sparsity_ratio=ratio, block_idx=idx, bq=bq, bkv=bkv
         )
         ref = block_sparse_reference(q, k, v, idx, bq=bq, bkv=bkv)
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+        assert err < 0.05, err
+
+    def test_fixed_softmax_bshd_prescaled(self):
+        """Model fast path: q prescaled by scale*log2e upstream, fixed-shift
+        softmax, direct (B, S, H*D) output — must match the oracle."""
+        b, h, s, d = 1, 2, 640, 128
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.bfloat16)
+        idx = select_blocks(q, k, 0.5, bq=128, bkv=128)
+        qp = (q.astype(jnp.float32) * (LOG2E / math.sqrt(d))).astype(jnp.bfloat16)
+        out = block_sparse_attention(
+            qp, k, v, sparsity_ratio=0.5, block_idx=idx, bq=128, bkv=128,
+            scale=1.0, out_bshd=True, fixed_softmax=True,
+        )
+        assert out.shape == (b, s, h * d)
+        ref = block_sparse_reference(q, k, v, idx, bq=128, bkv=128)
+        ref = ref.transpose(0, 2, 1, 3).reshape(b, s, h * d)
         err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
         assert err < 0.05, err
 

@@ -259,3 +259,27 @@ class TestImageConditioning:
         m = np.asarray(cond[..., 64:], np.float32)
         assert m.max() == 1.0 and m.min() == 0.0
         del pipe.__dict__["encode_image_tokens"]
+
+
+def test_encode_prompt_returns_arrays():
+    """encode_prompt must unpack the CLIP (pooled, hidden) tuple — the
+    pooled output feeds pooled_projections directly (regression: it was
+    once returned as the raw tuple)."""
+    from nunchaku_tpu.models.text_encoders.clip import CLIPTextModel
+    from nunchaku_tpu.models.text_encoders.t5 import T5EncoderModel
+
+    model = FluxTransformer2DModel.random_init(jax.random.PRNGKey(0), TINY)
+    clip = CLIPTextModel.random_init(jax.random.PRNGKey(1), vocab=64, d=128)
+    t5 = T5EncoderModel.random_init(
+        jax.random.PRNGKey(2), vocab=64, d_model=512, layers=1
+    )
+
+    def tok(prompts, max_length):
+        return jnp.full((len(prompts), min(max_length, 16)), 3, jnp.int32)
+
+    pipe = FluxPipeline(
+        model, text_encoder=clip, text_encoder_2=t5, tokenizer=tok, tokenizer_2=tok
+    )
+    prompt_embeds, pooled = pipe.encode_prompt("a cat")
+    assert isinstance(pooled, jnp.ndarray) and pooled.ndim == 2
+    assert prompt_embeds.ndim == 3 and prompt_embeds.shape[0] == 1
