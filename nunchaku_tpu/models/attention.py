@@ -292,26 +292,36 @@ class FluxAttention(Module):
         if prescaled and getattr(self, "attn_int8", False):
             q8, qs, k8, ks = quantize_qk(q, k)
             return flash_attention_i8(q8, qs, k8, ks, v, out_bshd=out_bshd)
+        unroll = getattr(self, "attn_kv_unroll", 1)
         return flash_attention(
             q, k, v, scale=1.0 if prescaled else None, out_bshd=out_bshd,
             fixed_softmax=getattr(self, "fixed_softmax", True),
+            bkv=768 if unroll == 2 else 1536, kv_unroll=unroll,
         )
 
-    def __call__(self, hidden, encoder_hidden=None, rot=None, ip_kv=None):
+    def __call__(self, hidden, encoder_hidden=None, rot=None, ip_kv=None,
+                 mods=None):
         """Dual: returns (img_attn_out, txt_attn_out[, ip_attn_out]).
         Single: raw attn (B,S,HD). ``ip_kv = (k_ip, v_ip)`` each (B, S_ip, HD)
         adds IP-Adapter image cross-attention using the image-stream query
-        (reference ip_adapter/utils.py:25-491)."""
+        (reference ip_adapter/utils.py:25-491).
+        ``mods = ((scale, shift), (scale_txt, shift_txt) | None)``: the
+        inputs are RAW residual streams and AdaLN LN+modulate runs fused
+        into the qkv quantize producers (forward_modulated)."""
         b, s_img, _ = hidden.shape
         merged = (
             encoder_hidden is not None
             and getattr(self, "qkv_merged", None) is not None
         )
+        if merged and mods is not None:
+            raise ValueError("fused LN+quantize is incompatible with qkv_merged")
         if merged:
             s_txt = encoder_hidden.shape[1]
             qkv_joint = self.qkv_merged(encoder_hidden, hidden)
             qkv_txt = qkv_joint[:, :s_txt]
             qkv = qkv_joint[:, s_txt:]
+        elif mods is not None:
+            qkv = self.to_qkv.forward_modulated(hidden, *mods[0])
         else:
             qkv = self.to_qkv(hidden)
         heads_local = qkv.shape[-1] // 3 // self.head_dim
@@ -341,7 +351,12 @@ class FluxAttention(Module):
 
         s_txt = encoder_hidden.shape[1]
         if not merged:
-            qkv_txt = self.add_qkv_proj(encoder_hidden)
+            if mods is not None and mods[1] is not None:
+                qkv_txt = self.add_qkv_proj.forward_modulated(
+                    encoder_hidden, *mods[1]
+                )
+            else:
+                qkv_txt = self.add_qkv_proj(encoder_hidden)
         rot_txt = rot[:s_txt] if rot is not None else None
         rot_img = rot[s_txt:] if rot is not None else None
         q_i, k_i, v_i = qkv_norm_rope(
@@ -402,8 +417,8 @@ class FeedForward(Module):
             ),
         )
 
-    def __call__(self, x):
-        out = gelu_mlp(self.fc1, self.fc2, x)
+    def __call__(self, x, mod=None):
+        out = gelu_mlp(self.fc1, self.fc2, x, mod=mod)
         if self.tp_axis is not None:  # fc2 is row-parallel under TP
             out = jax.lax.psum(out, self.tp_axis)
         return out
@@ -422,7 +437,7 @@ def _can_chain(fc1, fc2, m: int) -> bool:
     )
 
 
-def gelu_mlp(fc1, fc2, x):
+def gelu_mlp(fc1, fc2, x, mod=None):
     """fc1 -> GELU -> fc2 (reference fused_gelu_mlp, ops/fused.py:14-83).
 
     int8 mode runs the fused GELU_QUANT chain: fc1's GEMM epilogue emits
@@ -435,8 +450,22 @@ def gelu_mlp(fc1, fc2, x):
     lead = x.shape[:-1]
     m = math.prod(lead)
     if _can_chain(fc1, fc2, m):
-        x2d = x.reshape(m, x.shape[-1])
-        qact, asc, la = fc1.quantize(x2d)
+        if mod is not None:
+            # fused LN+modulate+quantize producer: x is the RAW stream
+            from ..ops.quantize import ln_mod_quant_int8
+
+            b, s, k = x.shape
+            bm = next(
+                (c for c in (512, 384, 256, 128, 64, 32, 16, 8) if s % c == 0),
+                256,
+            )
+            qact, asc, la = ln_mod_quant_int8(
+                x.astype(jnp.bfloat16), mod[0], mod[1], fc1.smooth,
+                fc1.proj_down, bm=bm,
+            )
+        else:
+            x2d = x.reshape(m, x.shape[-1])
+            qact, asc, la = fc1.quantize(x2d)
         sm = fc2.smooth.astype(jnp.float32)
         rsm = jnp.where(sm == 0, 1.0, 1.0 / jnp.where(sm == 0, 1.0, sm))
         qout, qs, la2 = svdq_gemm_w8a8_gelu_quant(
@@ -446,6 +475,13 @@ def gelu_mlp(fc1, fc2, x):
         )
         out = fc2.forward_quant(qout, qs, la2)
         return out[:m].reshape(*lead, out.shape[-1])
+    if mod is not None:
+        from .normalization import layer_norm
+
+        x = (
+            layer_norm(x) * (1.0 + mod[0].astype(jnp.float32))[:, None]
+            + mod[1].astype(jnp.float32)[:, None]
+        ).astype(jnp.bfloat16)
     h = fc1(x)
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True)
     # fc2.act_unsigned adds GELU_SHIFT inside its quantize step; the

@@ -26,6 +26,20 @@ from ..ops.quantize import quantize_w4a4_act_fuse_lora
 PAD_TOKENS = 256  # batch padding quantum (reference pads M to 256, Linear.cpp:445)
 
 
+# int8 activations quantize through the Pallas one-read producer
+# (ops/quantize.ln_mod_quant_int8 with apply_ln=False) instead of the
+# XLA multi-pass chain. In-model A/B (tools/ablate_pallas_quant.py):
+# NEUTRAL (360.5 vs 360.6 ms/step) — XLA already fuses/overlaps the
+# standalone quantizes well, so the default stays off; the fused
+# LN+modulate producer (FUSED_LN_QUANT, -8 ms) is where the win was.
+PALLAS_QUANT_INT8 = False
+
+
+def set_pallas_quant_int8(enabled: bool) -> None:
+    global PALLAS_QUANT_INT8
+    PALLAS_QUANT_INT8 = bool(enabled)
+
+
 def pad_rows(x: jnp.ndarray, multiple: int = PAD_TOKENS) -> jnp.ndarray:
     m = x.shape[0]
     pad = (-m) % multiple
@@ -255,9 +269,59 @@ class SVDQW4A4Linear(Module):
             act_unsigned=self.act_unsigned,
         )
 
+    def forward_modulated(self, x: jnp.ndarray, scale: jnp.ndarray,
+                          shift: jnp.ndarray) -> jnp.ndarray:
+        """``LN(x) * (1 + scale) + shift`` -> this linear, with the fused
+        Pallas producer on the int8 path (ln_mod_quant_int8: one HBM read
+        replaces the XLA LN / modulate / quantize passes; standalone A/B
+        9.3 -> 1.6 ms at FLUX img shapes). x is (B, S, K); scale/shift
+        (B, K) AdaLN vectors pre-adjusted for (1 + scale)."""
+        b, s, k = x.shape
+        bm = next((c for c in (512, 384, 256, 128, 64, 32, 16, 8) if s % c == 0), None)
+        if self.precision == "int8" and bm is not None and k == self.in_features:
+            from ..ops.quantize import ln_mod_quant_int8
+
+            q, asc, la = ln_mod_quant_int8(
+                x.astype(jnp.bfloat16), scale, shift, self.smooth,
+                self.proj_down, bm=bm,
+            )
+            out = self.forward_quant(q, asc, la)
+            if self.logical_out < out.shape[-1]:
+                out = out[:, : self.logical_out]
+            return out.reshape(b, s, -1)
+        from .normalization import layer_norm
+
+        y = (
+            layer_norm(x) * (1.0 + scale.astype(jnp.float32))[:, None]
+            + shift.astype(jnp.float32)[:, None]
+        )
+        return self(y.astype(jnp.bfloat16))
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         lead = x.shape[:-1]
         m = math.prod(lead)
+        if (
+            PALLAS_QUANT_INT8
+            and self.precision == "int8"
+            and x.ndim == 3
+            and x.shape[-1] == self.in_features
+        ):
+            b, s, k = x.shape
+            bm = next(
+                (c for c in (512, 384, 256, 128, 64, 32, 16, 8) if s % c == 0),
+                None,
+            )
+            if bm is not None:
+                from ..ops.quantize import ln_mod_quant_int8
+
+                q, asc, la = ln_mod_quant_int8(
+                    x.astype(jnp.bfloat16), None, None, self.smooth,
+                    self.proj_down, bm=bm, apply_ln=False,
+                )
+                out = self.forward_quant(q, asc, la)
+                if self.logical_out < out.shape[-1]:
+                    out = out[:, : self.logical_out]
+                return out.reshape(b, s, -1)
         # runtime shapes, not self.in/out_features: under shard_map the
         # arrays are local shards of tensor-parallel weights
         x2d = x.reshape(m, x.shape[-1])

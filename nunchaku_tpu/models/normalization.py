@@ -156,6 +156,19 @@ class AdaLayerNormZero(Module):
             gate_mlp,
         )
 
+    def mod_vectors(self, temb, mod=None):
+        """Split the modulation WITHOUT applying the norm (for the fused
+        LN+modulate+quantize producer, ops/quantize.ln_mod_quant_int8).
+        Returns (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp,
+        gate_mlp), scales pre-adjusted so consumers compute (1 + scale)."""
+        if mod is None:
+            mod = self.linear(jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype))
+        parts = list(jnp.split(mod.astype(jnp.float32), 6, axis=-1))
+        if self.scale_shift != 1.0:
+            parts[1] = parts[1] + (self.scale_shift - 1.0)
+            parts[4] = parts[4] + (self.scale_shift - 1.0)
+        return parts
+
 
 class AdaLayerNormZeroSingle(Module):
     """Single-stream variant: returns (norm_x, gate_msa)."""
@@ -180,6 +193,16 @@ class AdaLayerNormZeroSingle(Module):
         norm_x = layer_norm(x)
         out = norm_x * (scale_msa[:, None] + self.scale_shift) + shift_msa[:, None]
         return out.astype(x.dtype), gate_msa
+
+    def mod_vectors(self, temb, mod=None):
+        """(shift_msa, scale_msa, gate_msa) without applying the norm;
+        scale pre-adjusted for (1 + scale) consumers."""
+        if mod is None:
+            mod = self.linear(jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype))
+        parts = list(jnp.split(mod.astype(jnp.float32), 3, axis=-1))
+        if self.scale_shift != 1.0:
+            parts[1] = parts[1] + (self.scale_shift - 1.0)
+        return parts
 
 
 class AdaLayerNormContinuous(Module):

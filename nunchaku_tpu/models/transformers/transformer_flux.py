@@ -41,6 +41,17 @@ from ..normalization import (
 )
 
 
+# Fused LN+modulate+int8-quantize producers (ops/quantize.ln_mod_quant_int8)
+# for bf16-stream int8 blocks: one Pallas read replaces the XLA LN/modulate/
+# quantize passes. Toggle for A/B (tools/ablate_ln_quant.py).
+FUSED_LN_QUANT = True
+
+
+def set_fused_ln_quant(enabled: bool) -> None:
+    global FUSED_LN_QUANT
+    FUSED_LN_QUANT = bool(enabled)
+
+
 @dataclass(frozen=True)
 class FluxConfig:
     num_layers: int = 19
@@ -110,13 +121,31 @@ class FluxTransformerBlock(Module):
         m1 = m1c = None
         if mods is not None:
             m1, m1c = mods
-        norm_img, gate_msa, shift_mlp, scale_mlp, gate_mlp = self.norm1(
-            img, temb, mod=m1
+        fused_ln = (
+            FUSED_LN_QUANT
+            and sdt == jnp.bfloat16
+            and getattr(self.attn.to_qkv, "precision", None) == "int8"
+            and getattr(self.attn, "qkv_merged", None) is None
         )
-        norm_txt, c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = self.norm1_context(
-            txt, temb, mod=m1c
-        )
-        attn_outs = self.attn(norm_img, norm_txt, rot, ip_kv=ip_kv)
+        if fused_ln:
+            shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = (
+                self.norm1.mod_vectors(temb, mod=m1)
+            )
+            c_shift_msa, c_scale_msa, c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = (
+                self.norm1_context.mod_vectors(temb, mod=m1c)
+            )
+            attn_outs = self.attn(
+                img, txt, rot, ip_kv=ip_kv,
+                mods=((scale_msa, shift_msa), (c_scale_msa, c_shift_msa)),
+            )
+        else:
+            norm_img, gate_msa, shift_mlp, scale_mlp, gate_mlp = self.norm1(
+                img, temb, mod=m1
+            )
+            norm_txt, c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = self.norm1_context(
+                txt, temb, mod=m1c
+            )
+            attn_outs = self.attn(norm_img, norm_txt, rot, ip_kv=ip_kv)
         attn_img, attn_txt = attn_outs[0], attn_outs[1]
         attn_img = tap("dual.attn_img", attn_img)
         attn_txt = tap("dual.attn_txt", attn_txt)
@@ -124,17 +153,20 @@ class FluxTransformerBlock(Module):
         img = (img + gate_msa[:, None] * attn_img.astype(jnp.float32)).astype(sdt)
         if len(attn_outs) == 3:  # IP-Adapter residual (transformer_flux_v2.py:238)
             img = (img + ip_scale * attn_outs[2].astype(jnp.float32)).astype(sdt)
-        h = layer_norm(img) * (1.0 + scale_mlp[:, None]) + shift_mlp[:, None]
-        img = (
-            img + gate_mlp[:, None] * self.ff(h.astype(attn_img.dtype)).astype(jnp.float32)
-        ).astype(sdt)
+        if fused_ln:
+            ff_out = self.ff(img, mod=(scale_mlp, shift_mlp))
+        else:
+            h = layer_norm(img) * (1.0 + scale_mlp[:, None]) + shift_mlp[:, None]
+            ff_out = self.ff(h.astype(attn_img.dtype))
+        img = (img + gate_mlp[:, None] * ff_out.astype(jnp.float32)).astype(sdt)
 
         txt = (txt + c_gate_msa[:, None] * attn_txt.astype(jnp.float32)).astype(sdt)
-        h = layer_norm(txt) * (1.0 + c_scale_mlp[:, None]) + c_shift_mlp[:, None]
-        txt = (
-            txt
-            + c_gate_mlp[:, None] * self.ff_context(h.astype(attn_txt.dtype)).astype(jnp.float32)
-        ).astype(sdt)
+        if fused_ln:
+            ffc_out = self.ff_context(txt, mod=(c_scale_mlp, c_shift_mlp))
+        else:
+            h = layer_norm(txt) * (1.0 + c_scale_mlp[:, None]) + c_shift_mlp[:, None]
+            ffc_out = self.ff_context(h.astype(attn_txt.dtype))
+        txt = (txt + c_gate_mlp[:, None] * ffc_out.astype(jnp.float32)).astype(sdt)
         return tap("dual.img_out", img), tap("dual.txt_out", txt)
 
 
@@ -172,9 +204,22 @@ class FluxSingleTransformerBlock(Module):
         )
 
     def __call__(self, x, temb, rot, mod=None):
-        norm_x, gate = self.norm(x, temb, mod=mod)
-        attn = self.attn(norm_x, None, rot)
-        mlp = gelu_mlp(self.mlp_fc1, self.mlp_fc2, norm_x)
+        fused_ln = (
+            FUSED_LN_QUANT
+            and x.dtype == jnp.bfloat16
+            and getattr(self.attn.to_qkv, "precision", None) == "int8"
+            and getattr(self.mlp_fc1, "precision", None) == "int8"
+        )
+        if fused_ln:
+            # the shared AdaLN output feeds BOTH producers; two fused
+            # one-read producers still beat one norm pass + two quantizes
+            shift_msa, scale_msa, gate = self.norm.mod_vectors(temb, mod=mod)
+            attn = self.attn(x, None, rot, mods=((scale_msa, shift_msa), None))
+            mlp = gelu_mlp(self.mlp_fc1, self.mlp_fc2, x, mod=(scale_msa, shift_msa))
+        else:
+            norm_x, gate = self.norm(x, temb, mod=mod)
+            attn = self.attn(norm_x, None, rot)
+            mlp = gelu_mlp(self.mlp_fc1, self.mlp_fc2, norm_x)
         out = self.attn_out(attn).astype(jnp.float32) + mlp.astype(jnp.float32)
         if self.tp_axis is not None:  # attn_out + mlp_fc2 are row-parallel
             out = jax.lax.psum(out, self.tp_axis)

@@ -224,6 +224,61 @@ def _flash_kernel_fixed(
         o_ref[0] = (acc_scr[...] / l_scr[...][:, :1]).astype(o_ref.dtype)
 
 
+def _flash_kernel_fixed2(
+    q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr, *, scale: float, kv_len: int,
+    bkv: int,
+):
+    """Two-kv-block software pipelining: both QK^T dots are issued before
+    the first exp2 pass so the second block's MXU work can overlap the
+    first block's VPU softmax (the single-block kernel serializes
+    dot -> exp2 -> PV per grid step)."""
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (2*bkv, d)
+    v = v_ref[0]
+
+    k1, k2 = k[:bkv], k[bkv:]
+    v1, v2 = v[:bkv], v[bkv:]
+    s1 = jax.lax.dot_general(
+        q, k1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s2 = jax.lax.dot_general(
+        q, k2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if scale != 1.0:
+        s1 = s1 * (scale * LOG2E)
+        s2 = s2 * (scale * LOG2E)
+
+    if kv_len % (2 * bkv):
+        base = j * 2 * bkv
+        col1 = base + jax.lax.broadcasted_iota(jnp.int32, s1.shape, 1)
+        col2 = base + bkv + jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+        s1 = jnp.where(col1 < kv_len, s1, NEG_INF)
+        s2 = jnp.where(col2 < kv_len, s2, NEG_INF)
+
+    p1 = jnp.exp2(jnp.minimum(s1, FIXED_CAP) - FIXED_SHIFT)
+    a1 = jnp.dot(p1.astype(jnp.bfloat16), v1, preferred_element_type=jnp.float32)
+    p2 = jnp.exp2(jnp.minimum(s2, FIXED_CAP) - FIXED_SHIFT)
+    a2 = jnp.dot(p2.astype(jnp.bfloat16), v2, preferred_element_type=jnp.float32)
+    l_scr[...] += jnp.broadcast_to(
+        jnp.sum(p1, axis=-1, keepdims=True)
+        + jnp.sum(p2, axis=-1, keepdims=True),
+        l_scr.shape,
+    )
+    acc_scr[...] += a1 + a2
+
+    @pl.when(j == nj - 1)
+    def _done():
+        o_ref[0] = (acc_scr[...] / l_scr[...][:, :1]).astype(o_ref.dtype)
+
+
 def _flash_kernel_fixed_i8(
     q_ref, qs_ref, k_ref, ks_ref, v_ref, o_ref, l_scr, acc_scr,
     *, kv_len: int
@@ -323,7 +378,8 @@ def _flash_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "bq", "bkv", "out_bshd", "fixed_softmax", "interpret"),
+    static_argnames=("scale", "bq", "bkv", "out_bshd", "fixed_softmax",
+                     "kv_unroll", "interpret"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -335,6 +391,7 @@ def flash_attention(
     bkv: int = 1536,
     out_bshd: bool = False,
     fixed_softmax: bool = False,
+    kv_unroll: int = 1,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Dense non-causal attention over (B, H, S, D) bf16 tensors.
@@ -356,8 +413,10 @@ def flash_attention(
 
     bq = min(bq, _round_up(sq, 128))
     bkv = min(bkv, _round_up(skv, 128))
+    if not (fixed_softmax and kv_unroll == 2):
+        kv_unroll = 1
     pq = (-sq) % bq
-    pkv = (-skv) % bkv
+    pkv = (-skv) % (kv_unroll * bkv)
     if pq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pq), (0, 0)))
     if pkv:
@@ -380,12 +439,22 @@ def flash_attention(
         )
         out_shape = jax.ShapeDtypeStruct((bh, sq + pq, d), q.dtype)
 
-    if fixed_softmax:
+    if kv_unroll == 2:
+        kernel = functools.partial(
+            _flash_kernel_fixed2, scale=scale, kv_len=skv, bkv=bkv
+        )
+        scratch = [
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ]
+        kv_blk = 2 * bkv
+    elif fixed_softmax:
         kernel = functools.partial(_flash_kernel_fixed, scale=scale, kv_len=skv)
         scratch = [
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, d), jnp.float32),
         ]
+        kv_blk = bkv
     else:
         kernel = functools.partial(_flash_kernel, scale=scale, kv_len=skv)
         scratch = [
@@ -393,15 +462,16 @@ def flash_attention(
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, d), jnp.float32),
         ]
+        kv_blk = bkv
 
-    grid = (bh, (sq + pq) // bq, (skv + pkv) // bkv)
+    grid = (bh, (sq + pq) // bq, (skv + pkv) // kv_blk)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bkv, d), lambda g, i, j: (g, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bkv, d), lambda g, i, j: (g, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_blk, d), lambda g, i, j: (g, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_blk, d), lambda g, i, j: (g, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_spec,
         out_shape=out_shape,

@@ -26,6 +26,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
 from ..core.dtypes import E2M1_MAX
 from ..core.packing import pack_int4
 from .reference import GROUP_FP4, GROUP_INT4, GELU_SHIFT
@@ -130,3 +133,112 @@ def _e2m1_value_to_code(v: jnp.ndarray) -> jnp.ndarray:
         t <= 4, t, jnp.where(t == 6, 5, jnp.where(t == 8, 6, 7))
     ).astype(jnp.int8)
     return jnp.where(v < 0, -idx, idx).astype(jnp.int8)
+
+
+# ---------------------------------------------------------------------------
+# Fused LayerNorm + AdaLN-modulate + int8 quantize producer (Pallas)
+
+
+def _ln_mod_quant_kernel(
+    x_ref, sc_ref, sh_ref, rsm_ref, pd_ref, q_ref, s_ref, la_ref,
+    *, eps: float, apply_ln: bool, apply_mod: bool,
+):
+    x = x_ref[0].astype(jnp.float32)  # (bm, K)
+    if apply_ln:
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        xc = x - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        y = xc * jax.lax.rsqrt(var + eps)
+    else:
+        y = x
+    if apply_mod:
+        y = y * (1.0 + sc_ref[0].astype(jnp.float32)) + sh_ref[0].astype(jnp.float32)
+    # next layer's low-rank branch on the raw modulated activation
+    # (ops/quantize.py contract: lora before smooth/shift)
+    la_ref[0] = jnp.dot(
+        y.astype(jnp.bfloat16), pd_ref[...], preferred_element_type=jnp.float32
+    )
+    h = y * rsm_ref[...].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)  # (bm, 1)
+    scale = absmax / 127.0
+    rcp = jnp.where(scale == 0, 0.0, 1.0 / jnp.where(scale == 0, 1.0, scale))
+    q_ref[0] = jnp.clip(jnp.round(h * rcp), -127, 127).astype(jnp.int8)
+    s_ref[0] = scale.reshape(1, -1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "bm", "apply_ln", "interpret")
+)
+def ln_mod_quant_int8(
+    x: jnp.ndarray,  # (B, S, K) residual stream
+    mod_scale: jnp.ndarray | None,  # (B, K); None = plain quantize producer
+    mod_shift: jnp.ndarray | None,  # (B, K)
+    smooth: jnp.ndarray | None,  # (K,)
+    proj_down: jnp.ndarray,  # (K, R)
+    *,
+    eps: float = 1e-6,
+    bm: int = 512,
+    apply_ln: bool = True,
+    interpret: bool | None = None,
+):
+    """LN(x) * (1 + scale) + shift, smoothed and int8-quantized, in ONE HBM
+    read of the stream (the XLA path reads the (M, K) activation 2-3 times
+    across the LN-reduction / modulate / absmax / round passes).
+
+    Returns (qact (M, K) int8, ascales (1, M) f32, lora_act (M, R) f32)
+    with M = B*S — exactly SVDQW4A4Linear.quantize's int8 contract.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, s, k = x.shape
+    bm = min(bm, s)
+    if s % bm:
+        raise ValueError(f"S={s} not divisible by bm={bm}")
+    r = proj_down.shape[1]
+    if smooth is None:
+        rsmooth = jnp.ones((1, k), jnp.float32)
+    else:
+        sm = smooth.astype(jnp.float32)
+        rsmooth = jnp.where(sm == 0, 1.0, 1.0 / jnp.where(sm == 0, 1.0, sm))
+        rsmooth = rsmooth.reshape(1, k)
+
+    apply_mod = mod_scale is not None
+    if not apply_mod:
+        mod_scale = jnp.zeros((b, k), jnp.bfloat16)
+        mod_shift = jnp.zeros((b, k), jnp.bfloat16)
+    q, sc, la = pl.pallas_call(
+        functools.partial(_ln_mod_quant_kernel, eps=eps,
+                          apply_ln=apply_ln, apply_mod=apply_mod),
+        grid=(b, s // bm),
+        in_specs=[
+            pl.BlockSpec((1, bm, k), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, 1, k), lambda bi, i: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, k), lambda bi, i: (bi, 0, 0)),
+            pl.BlockSpec((1, k), lambda bi, i: (0, 0)),
+            pl.BlockSpec((k, r), lambda bi, i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bm, k), lambda bi, i: (bi, i, 0)),
+            pl.BlockSpec((1, 1, bm), lambda bi, i: (bi, 0, i)),
+            pl.BlockSpec((1, bm, r), lambda bi, i: (bi, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, k), jnp.int8),
+            jax.ShapeDtypeStruct((b, 1, s), jnp.float32),
+            jax.ShapeDtypeStruct((b, s, r), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # f32 LN temps at (bm, K) tiles exceed the 16 MiB default scope
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s * k * r + 8 * b * s * k,
+            bytes_accessed=x.nbytes + b * s * k,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, mod_scale.reshape(b, 1, k), mod_shift.reshape(b, 1, k),
+      rsmooth, proj_down.astype(jnp.bfloat16))
+    m = b * s
+    return q.reshape(m, k), sc.reshape(1, m), la.reshape(m, r)

@@ -209,3 +209,29 @@ def test_merged_dual_streams_matches_unmerged():
     out = np.asarray(f(merged, *args), np.float32)
     err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert err < 1e-2, err
+
+
+def test_fused_ln_quant_equivalence():
+    """FUSED_LN_QUANT (Pallas LN+modulate+quantize producers) matches the
+    unfused XLA path to quantization-noise level on an int8 bf16-stream
+    model (the turbo config where the fusion activates)."""
+    import nunchaku_tpu.models.transformers.transformer_flux as TF
+
+    cfg = FluxConfig(
+        num_layers=1, num_single_layers=1, num_attention_heads=2,
+        joint_attention_dim=512, pooled_projection_dim=256, precision="int8",
+    )
+    m = FluxTransformer2DModel.random_init(jax.random.PRNGKey(7), cfg)
+    m.set_stream_dtype(jnp.bfloat16)
+    args = _inputs()
+    try:
+        TF.set_fused_ln_quant(False)
+        ref = jax.jit(lambda mm, *a: mm(*a))(m, *args)
+        TF.set_fused_ln_quant(True)
+        out = jax.jit(lambda mm, *a: mm(*a))(m, *args)
+    finally:
+        TF.set_fused_ln_quant(True)
+    r = np.asarray(ref, np.float32)
+    o = np.asarray(out, np.float32)
+    rel = np.abs(r - o).max() / (np.sqrt(np.mean(r**2)) + 1e-9)
+    assert rel < 0.05, rel

@@ -303,3 +303,73 @@ def test_flash_attention_i8_matches_oracle():
     o2 = flash_attention_i8(q8, qs, k8, ks, v, out_bshd=True)
     o1 = np.asarray(out, np.float32).transpose(0, 2, 1, 3).reshape(B, S, H * D)
     np.testing.assert_allclose(np.asarray(o2, np.float32), o1, rtol=0, atol=1e-6)
+
+
+class TestLnModQuantProducer:
+    """Fused LN+modulate+int8-quantize Pallas producer vs the XLA
+    composition (ops/quantize.ln_mod_quant_int8)."""
+
+    def test_vs_xla_composition(self):
+        from nunchaku_tpu.ops.quantize import ln_mod_quant_int8
+
+        B, S, K, R = 2, 64, 256, 32
+        x = jnp.asarray(rng.normal(size=(B, S, K)), jnp.bfloat16)
+        sc = jnp.asarray(rng.normal(size=(B, K)) * 0.1, jnp.bfloat16)
+        sh = jnp.asarray(rng.normal(size=(B, K)) * 0.1, jnp.bfloat16)
+        sm = jnp.asarray(np.abs(rng.normal(size=(K,))) + 0.5, jnp.bfloat16)
+        pd = jnp.asarray(rng.normal(size=(K, R)) * 0.05, jnp.bfloat16)
+
+        q, s, la = ln_mod_quant_int8(x, sc, sh, sm, pd, bm=32)
+
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.var(xf, -1, keepdims=True)
+        y = ((xf - mu) * jax.lax.rsqrt(var + 1e-6)) \
+            * (1 + sc.astype(jnp.float32))[:, None] \
+            + sh.astype(jnp.float32)[:, None]
+        y2 = y.reshape(B * S, K).astype(jnp.bfloat16)
+        q2, s2, la2 = quantize_w4a4_act_fuse_lora(y2, pd, sm, precision="int8")
+
+        # the kernel keeps f32 through modulation (the XLA path rounds to
+        # bf16 first): codes agree except +-1 LSB ties
+        match = float(jnp.mean((q == q2).astype(jnp.float32)))
+        assert match > 0.9, match
+        err = jnp.max(jnp.abs(q.astype(jnp.int32) - q2.astype(jnp.int32)))
+        assert int(err) <= 1, int(err)
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(s2.reshape(1, -1)), rtol=2e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(la2), atol=2e-2
+        )
+
+    def test_plain_quantize_mode(self):
+        """apply_ln=False / mods=None reduces to the plain int8 quantize."""
+        from nunchaku_tpu.ops.quantize import ln_mod_quant_int8
+
+        B, S, K, R = 1, 64, 256, 32
+        x = jnp.asarray(rng.normal(size=(B, S, K)), jnp.bfloat16)
+        sm = jnp.asarray(np.abs(rng.normal(size=(K,))) + 0.5, jnp.bfloat16)
+        pd = jnp.asarray(rng.normal(size=(K, R)) * 0.05, jnp.bfloat16)
+        q, s, la = ln_mod_quant_int8(x, None, None, sm, pd, bm=32, apply_ln=False)
+        q2, s2, la2 = quantize_w4a4_act_fuse_lora(
+            x.reshape(B * S, K), pd, sm, precision="int8"
+        )
+        assert float(jnp.mean((q == q2).astype(jnp.float32))) > 0.98
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(s2.reshape(1, -1)), rtol=1e-4
+        )
+
+
+class TestFlashKvUnroll:
+    def test_unroll2_matches_unroll1(self):
+        b, h, s, d = 1, 2, 640, 128  # ragged vs 2*bkv=256
+        q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.bfloat16)
+        o1 = flash_attention(q, k, v, bq=128, bkv=128, fixed_softmax=True)
+        o2 = flash_attention(
+            q, k, v, bq=128, bkv=128, fixed_softmax=True, kv_unroll=2
+        )
+        err = float(jnp.max(jnp.abs(o1.astype(jnp.float32) - o2.astype(jnp.float32))))
+        assert err < 0.02, err
