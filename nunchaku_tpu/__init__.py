@@ -48,6 +48,8 @@ from .models.transformers.transformer_qwenimage import (
 )
 from .models.transformers.transformer_sana import SanaConfig, SanaTransformer2DModel
 from .pipeline.pipeline_qwenimage import QwenImagePipeline
+from .pipeline.pipeline_sdxl import SDXLPipeline
+from .pipeline.pipeline_zimage import ZImagePipeline
 from .models.transformers.transformer_flux import FluxConfig, FluxTransformer2DModel
 from .models.transformers.transformer_zimage import ZImageConfig, ZImageTransformer2DModel
 from .pipeline.pipeline_flux import FluxPipeline, apply_cache_on_pipe
@@ -99,5 +101,7 @@ __all__ = [
     "QwenImageConfig",
     "QwenImageTransformer2DModel",
     "QwenImagePipeline",
+    "SDXLPipeline",
+    "ZImagePipeline",
     "load_qwenimage_transformer",
 ]

@@ -95,3 +95,27 @@ def test_sdxl_geglu_ff_matches_unfused():
     ref = np.asarray(ff.out(g), np.float32)
     err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert err < 0.02, err
+
+
+def test_sdxl_pipeline_smoke():
+    """TPU-native SDXLPipeline: EulerDiscrete epsilon-prediction denoise to
+    finite latents (with and without CFG)."""
+    from nunchaku_tpu.pipeline.pipeline_sdxl import SDXLPipeline, sdxl_sigmas
+
+    sigmas, ts = sdxl_sigmas(30)
+    assert sigmas.shape == (31,) and sigmas[-1] == 0.0
+    assert np.all(np.diff(sigmas) < 0) and ts[0] > ts[-1]  # descending
+
+    model = SDXLUNet2DConditionModel.random_init(jax.random.PRNGKey(0), TINY)
+    pipe = SDXLPipeline(model)
+    pe = jax.random.normal(jax.random.PRNGKey(5), (1, 77, 256), jnp.bfloat16)
+    pool = jax.random.normal(jax.random.PRNGKey(6), (1, 256), jnp.bfloat16)
+    out = pipe(pe, pool, height=256, width=256, num_inference_steps=2)
+    assert out.latents.shape == (1, 4, 32, 32)
+    assert bool(jnp.isfinite(out.latents.astype(jnp.float32)).all())
+    out2 = pipe(
+        pe, pool, negative_prompt_embeds=jnp.zeros_like(pe),
+        negative_pooled_prompt_embeds=jnp.zeros_like(pool),
+        guidance_scale=5.0, height=256, width=256, num_inference_steps=2,
+    )
+    assert bool(jnp.isfinite(out2.latents.astype(jnp.float32)).all())

@@ -162,3 +162,22 @@ def test_zimage_loaded_linear_matches_oracle(tmp_path):
         float(jnp.max(jnp.abs(ref))) + 1e-9
     )
     assert err < 0.02, err
+
+
+def test_zimage_pipeline_smoke():
+    """TPU-native ZImagePipeline (Lumina2 conventions: t = 1 - sigma,
+    negative-velocity euler update) denoises to finite latents."""
+    from nunchaku_tpu.pipeline.pipeline_zimage import ZImagePipeline
+
+    cfg = ZImageConfig(**{**CFG, "axes_dims_rope": (32, 48, 48)})
+    model = ZImageTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+    pipe = ZImagePipeline(model)
+    pe = jax.random.normal(jax.random.PRNGKey(5), (1, 64, CAP), jnp.bfloat16)
+    out = pipe(pe, height=128, width=128, num_inference_steps=2)
+    assert out.latents.shape == (1, 64, 64)  # (128/8/2)^2 tokens, 16*p^2 ch
+    assert bool(jnp.isfinite(out.latents.astype(jnp.float32)).all())
+    # CFG branch
+    ne = jnp.zeros_like(pe)
+    out2 = pipe(pe, negative_prompt_embeds=ne, guidance_scale=3.0,
+                height=128, width=128, num_inference_steps=2)
+    assert bool(jnp.isfinite(out2.latents.astype(jnp.float32)).all())
