@@ -38,6 +38,9 @@ _COL_PARALLEL = (
     r"\.attn\.add_qkv_proj\.",
     r"\.ff(_context)?\.fc1\.",
     r"\.mlp_fc1\.",
+    # Z-Image (S3-DiT) naming
+    r"\.attention\.to_qkv\.",
+    r"\.feed_forward\.w13\.",
 )
 _ROW_PARALLEL = (
     r"\.attn\.to_out\.",
@@ -45,6 +48,9 @@ _ROW_PARALLEL = (
     r"\.ff(_context)?\.fc2\.",
     r"\.mlp_fc2\.",
     r"\.attn_out\.",
+    # Z-Image (S3-DiT) naming
+    r"\.attention\.to_out\.",
+    r"\.feed_forward\.w2\.",
 )
 
 
@@ -92,6 +98,9 @@ _STACKED_PREFIXES = (
     "transformer_blocks.",         # FLUX dual
     "single_transformer_blocks.",  # FLUX single
     "blocks.",                     # Qwen-Image MMDiT (same dual block)
+    "layers.",                     # Z-Image main stack
+    "noise_refiner.",              # Z-Image image refiner
+    "context_refiner.",            # Z-Image caption refiner
 )
 
 
@@ -117,44 +126,50 @@ def _set_tp_axis(model, axis: str) -> None:
             mod.tp_axis = axis
 
 
-def _reorder_qkv_columns(model, tp_size: int) -> None:
-    """Permute fused-QKV output columns from [q|k|v] to per-shard triples.
-
-    A column shard of the fused projection must hold its local heads'
-    q, k AND v (qkv_norm_rope splits the local output in thirds); the
-    natural checkpoint layout concatenates all-q, all-k, all-v instead.
-    """
+def _reorder_sectioned_columns(lin, sections: int, tp_size: int) -> None:
+    """Permute a section-fused projection's output columns from
+    [s0 | s1 | ...] to per-shard section groups: shard d must hold its
+    local slice of EVERY section (qkv_norm_rope splits the local output in
+    thirds; the GLU quantize splits it in halves)."""
     import numpy as np
 
+    n = lin.qweight.shape[-1]
+    inner = n // sections
+    loc = inner // tp_size
+    perm = np.concatenate(
+        [
+            np.concatenate(
+                [
+                    np.arange(d * loc, (d + 1) * loc) + s * inner
+                    for s in range(sections)
+                ]
+            )
+            for d in range(tp_size)
+        ]
+    )
+    take = lambda a, axis: jnp.take(a, jnp.asarray(perm), axis=axis)
+    lin.qweight = take(lin.qweight, -1)
+    lin.wscales = take(lin.wscales, -1)
+    lin.proj_up = take(lin.proj_up, -1)
+    if lin.bias is not None:
+        lin.bias = take(lin.bias, -1)
+    # w4a8 mode: the (K/G, N) int4->int8 rescale table indexes the
+    # same output channels as qweight — permute it too.
+    if getattr(lin, "rescales", None) is not None:
+        lin.rescales = take(lin.rescales, -1)
+
+
+def _reorder_qkv_columns(model, tp_size: int) -> None:
+    """Column permutations for every section-fused projection: [q|k|v]
+    triples on attention QKV, [value|gate] halves on SwiGLU w13."""
     for _, mod in model.modules():
         for attr in ("to_qkv", "add_qkv_proj"):
             lin = getattr(mod, attr, None)
-            if lin is None or not hasattr(lin, "qweight"):
-                continue
-            n = lin.qweight.shape[-1]
-            inner = n // 3
-            loc = inner // tp_size
-            perm = np.concatenate(
-                [
-                    np.concatenate(
-                        [
-                            np.arange(d * loc, (d + 1) * loc) + s * inner
-                            for s in range(3)
-                        ]
-                    )
-                    for d in range(tp_size)
-                ]
-            )
-            take = lambda a, axis: jnp.take(a, jnp.asarray(perm), axis=axis)
-            lin.qweight = take(lin.qweight, -1)
-            lin.wscales = take(lin.wscales, -1)
-            lin.proj_up = take(lin.proj_up, -1)
-            if lin.bias is not None:
-                lin.bias = take(lin.bias, -1)
-            # w4a8 mode: the (K/G, N) int4->int8 rescale table indexes the
-            # same output channels as qweight — permute it too.
-            if getattr(lin, "rescales", None) is not None:
-                lin.rescales = take(lin.rescales, -1)
+            if lin is not None and hasattr(lin, "qweight"):
+                _reorder_sectioned_columns(lin, 3, tp_size)
+        w13 = getattr(mod, "w13", None)
+        if w13 is not None and hasattr(w13, "qweight"):
+            _reorder_sectioned_columns(w13, 2, tp_size)
 
 
 def _scale_row_parallel_bias(model, tp_size: int) -> None:
@@ -229,6 +244,47 @@ def parallelize_qwenimage(model, mesh: Mesh):
     data_specs = (
         P("dp", None, None),  # hidden_states
         P("dp", None, None),  # encoder_hidden_states
+        P("dp"),  # timestep
+        P(None, None),  # img_ids
+        P(None, None),  # txt_ids
+    )
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(specs,) + data_specs,
+        out_specs=P("dp", None, None),
+        check_vma=False,
+    )
+    def forward(m, *args):
+        return m(*args)
+
+    return sharded, forward
+
+
+def parallelize_zimage(model, mesh: Mesh):
+    """Shard a ZImageTransformer2DModel over ``mesh`` (axes 'dp', 'tp').
+
+    S3-DiT blocks pair Megatron-style: to_qkv/w13 column-parallel (w13's
+    [value|gate] halves get the 2-section shard permutation so the local
+    GLU split stays correct), to_out/w2 row-parallel with in-module psums
+    (transformer_zimage.py ZImageAttention/ZImageFeedForward tp_axis).
+    Refiner stacks shard the same way; adaLN modulation and the sandwich
+    RMSNorms replicate."""
+    tp = mesh.shape["tp"]
+    _set_tp_axis(model, "tp")
+    if tp > 1:
+        _reorder_qkv_columns(model, tp)
+        _scale_row_parallel_bias(model, tp)
+    specs = flux_param_specs(model)
+    sharded = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), model, specs
+    )
+
+    data_specs = (
+        P("dp", None, None),  # hidden_states (pre-patchified tokens)
+        P("dp", None, None),  # encoder_hidden_states (cap feats)
         P("dp"),  # timestep
         P(None, None),  # img_ids
         P(None, None),  # txt_ids
