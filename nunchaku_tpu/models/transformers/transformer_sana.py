@@ -83,6 +83,7 @@ class SanaLinearAttention(Module):
         self.qkv_proj = qkv_proj
         self.out_proj = out_proj
         self.pag_to_v = pag_to_v  # perturbed-attention-guidance value proj
+        self.tp_axis = None  # set by parallel.tp.parallelize_sana()
 
     @classmethod
     def random_init(cls, key, dim, rank=32, precision="int4", pag=False):
@@ -95,12 +96,18 @@ class SanaLinearAttention(Module):
         )
 
     def __call__(self, x, *, pag: bool = False):
-        dim = x.shape[-1]
         if pag and self.pag_to_v is not None:
             # perturbed path: identity attention (value projection only,
             # SanaModel.cpp:108-145 forward_pag)
-            return self.out_proj(self.pag_to_v(x))
-        return self.out_proj(lite_la(self.qkv_proj(x), dim))
+            out = self.out_proj(self.pag_to_v(x))
+        else:
+            qkv = self.qkv_proj(x)
+            # local dim from the projection width: under TP the shard
+            # holds heads/tp (32-dim heads stay whole per shard)
+            out = self.out_proj(lite_la(qkv, qkv.shape[-1] // 3))
+        if self.tp_axis is not None:  # out_proj is row-parallel
+            out = jax.lax.psum(out, self.tp_axis)
+        return out
 
 
 class SanaCrossAttention(Module):
@@ -111,6 +118,7 @@ class SanaCrossAttention(Module):
         self.out_proj = out_proj
         self.heads = heads
         self.head_dim = head_dim
+        self.tp_axis = None  # set by parallel.tp.parallelize_sana()
 
     @classmethod
     def random_init(cls, key, dim, heads, rank=32, precision="int4"):
@@ -125,8 +133,10 @@ class SanaCrossAttention(Module):
     def __call__(self, x, cond, cond_mask=None):
         b, s, dim = x.shape
         s_txt = cond.shape[1]
-        h, d = self.heads, self.head_dim
-        q = self.q_linear(x).reshape(b, s, h, d).transpose(0, 2, 1, 3)
+        d = self.head_dim
+        q = self.q_linear(x)
+        h = q.shape[-1] // d  # local head count under TP
+        q = q.reshape(b, s, h, d).transpose(0, 2, 1, 3)
         kv = self.kv_linear(cond.astype(jnp.bfloat16))
         k, v = jnp.split(kv.astype(jnp.bfloat16), 2, axis=-1)
         k = k.reshape(b, s_txt, h, d).transpose(0, 2, 1, 3)
@@ -144,7 +154,10 @@ class SanaCrossAttention(Module):
             p = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
             o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, h * d)
-        return self.out_proj(o)
+        out = self.out_proj(o)
+        if self.tp_axis is not None:  # out_proj is row-parallel
+            out = jax.lax.psum(out, self.tp_axis)
+        return out
 
 
 class SanaGLUMBConv(Module):
@@ -153,6 +166,7 @@ class SanaGLUMBConv(Module):
         self.depth_w = depth_w  # (2h, 1, 3, 3) depthwise
         self.depth_b = depth_b
         self.point = point  # hidden -> in (GLU fused into its quantize)
+        self.tp_axis = None  # set by parallel.tp.parallelize_sana()
 
     @classmethod
     def random_init(cls, key, dim, hidden, rank=32, precision="int4"):
@@ -191,7 +205,10 @@ class SanaGLUMBConv(Module):
             precision=self.point.precision, fuse_glu=True,
         )
         out = self.point.forward_quant(qact, asc, la)[:m]
-        return out.reshape(b, s, -1)
+        out = out.reshape(b, s, -1)
+        if self.tp_axis is not None:  # point conv is row-parallel
+            out = jax.lax.psum(out, self.tp_axis)
+        return out
 
 
 class SanaTransformerBlock(Module):

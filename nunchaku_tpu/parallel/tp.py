@@ -41,6 +41,12 @@ _COL_PARALLEL = (
     # Z-Image (S3-DiT) naming
     r"\.attention\.to_qkv\.",
     r"\.feed_forward\.w13\.",
+    # SANA naming (LiteLA + cross attention + GLUMBConv)
+    r"\.attn\.qkv_proj\.",
+    r"\.attn\.pag_to_v\.",
+    r"\.cross_attn\.q_linear\.",
+    r"\.cross_attn\.kv_linear\.",
+    r"\.ff\.inverted\.",
 )
 _ROW_PARALLEL = (
     r"\.attn\.to_out\.",
@@ -51,6 +57,10 @@ _ROW_PARALLEL = (
     # Z-Image (S3-DiT) naming
     r"\.attention\.to_out\.",
     r"\.feed_forward\.w2\.",
+    # SANA naming
+    r"\.attn\.out_proj\.",
+    r"\.cross_attn\.out_proj\.",
+    r"\.ff\.point\.",
 )
 
 
@@ -73,10 +83,13 @@ def _param_spec(name: str, shape: tuple, stacked: bool) -> P:
         return spec(*([None] * (ndim - len(pad))))
 
     leaf = name.rsplit(".", 1)[-1]
+    if leaf in ("depth_w", "depth_b"):
+        # SANA depthwise conv rides the column-sharded GLUMB channels
+        return spec("tp", *([None] * (ndim - len(pad) - 1)))
     if any(re.search(p, "." + name) for p in _COL_PARALLEL):
         if leaf == "wscales" and local[0] == 1:
             return spec(None, "tp")  # int8/w4a8 per-channel scales
-        if leaf in ("qweight", "wscales", "proj_up", "rescales"):
+        if leaf in ("qweight", "wscales", "proj_up", "rescales", "weight"):
             return spec(None, "tp")
         if leaf == "bias":
             return spec("tp")
@@ -86,6 +99,8 @@ def _param_spec(name: str, shape: tuple, stacked: bool) -> P:
         if leaf == "wscales" and local[0] == 1:
             return repl()  # int8/w4a8 per-channel scales
         if leaf in ("qweight", "wscales", "proj_down", "rescales"):
+            return spec("tp", None)
+        if leaf == "weight":
             return spec("tp", None)
         if leaf == "smooth":
             return spec("tp")
@@ -126,17 +141,12 @@ def _set_tp_axis(model, axis: str) -> None:
             mod.tp_axis = axis
 
 
-def _reorder_sectioned_columns(lin, sections: int, tp_size: int) -> None:
-    """Permute a section-fused projection's output columns from
-    [s0 | s1 | ...] to per-shard section groups: shard d must hold its
-    local slice of EVERY section (qkv_norm_rope splits the local output in
-    thirds; the GLU quantize splits it in halves)."""
+def _section_perm(n: int, sections: int, tp_size: int):
     import numpy as np
 
-    n = lin.qweight.shape[-1]
     inner = n // sections
     loc = inner // tp_size
-    perm = np.concatenate(
+    return np.concatenate(
         [
             np.concatenate(
                 [
@@ -147,6 +157,23 @@ def _reorder_sectioned_columns(lin, sections: int, tp_size: int) -> None:
             for d in range(tp_size)
         ]
     )
+
+
+def _reorder_sectioned_columns(lin, sections: int, tp_size: int) -> None:
+    """Permute a section-fused projection's output columns from
+    [s0 | s1 | ...] to per-shard section groups: shard d must hold its
+    local slice of EVERY section (qkv_norm_rope splits the local output in
+    thirds; the GLU quantize splits it in halves). Handles quantized
+    (qweight) and plain (weight) linears."""
+    if not hasattr(lin, "qweight"):
+        perm = jnp.asarray(_section_perm(lin.weight.shape[-1], sections, tp_size))
+        lin.weight = jnp.take(lin.weight, perm, axis=-1)
+        if lin.bias is not None:
+            lin.bias = jnp.take(lin.bias, perm, axis=-1)
+        return
+
+    n = lin.qweight.shape[-1]
+    perm = _section_perm(n, sections, tp_size)
     take = lambda a, axis: jnp.take(a, jnp.asarray(perm), axis=axis)
     lin.qweight = take(lin.qweight, -1)
     lin.wscales = take(lin.wscales, -1)
@@ -161,15 +188,28 @@ def _reorder_sectioned_columns(lin, sections: int, tp_size: int) -> None:
 
 def _reorder_qkv_columns(model, tp_size: int) -> None:
     """Column permutations for every section-fused projection: [q|k|v]
-    triples on attention QKV, [value|gate] halves on SwiGLU w13."""
+    triples on attention QKV (FLUX/Z-Image/SANA LiteLA), [value|gate]
+    halves on SwiGLU w13 / SANA kv_linear / GLUMB inverted (whose
+    depthwise conv channels are permuted in lockstep)."""
     for _, mod in model.modules():
-        for attr in ("to_qkv", "add_qkv_proj"):
+        for attr in ("to_qkv", "add_qkv_proj", "qkv_proj"):
             lin = getattr(mod, attr, None)
             if lin is not None and hasattr(lin, "qweight"):
                 _reorder_sectioned_columns(lin, 3, tp_size)
         w13 = getattr(mod, "w13", None)
         if w13 is not None and hasattr(w13, "qweight"):
             _reorder_sectioned_columns(w13, 2, tp_size)
+        kv = getattr(mod, "kv_linear", None)
+        if kv is not None:
+            _reorder_sectioned_columns(kv, 2, tp_size)
+        inv = getattr(mod, "inverted", None)
+        if inv is not None and hasattr(inv, "qweight"):
+            _reorder_sectioned_columns(inv, 2, tp_size)
+            perm = jnp.asarray(
+                _section_perm(mod.depth_w.shape[-4], 2, tp_size)
+            )
+            mod.depth_w = jnp.take(mod.depth_w, perm, axis=-4)
+            mod.depth_b = jnp.take(mod.depth_b, perm, axis=-1)
 
 
 def _scale_row_parallel_bias(model, tp_size: int) -> None:
@@ -288,6 +328,45 @@ def parallelize_zimage(model, mesh: Mesh):
         P("dp"),  # timestep
         P(None, None),  # img_ids
         P(None, None),  # txt_ids
+    )
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(specs,) + data_specs,
+        out_specs=P("dp", None, None),
+        check_vma=False,
+    )
+    def forward(m, *args):
+        return m(*args)
+
+    return sharded, forward
+
+
+def parallelize_sana(model, mesh: Mesh):
+    """Shard a SanaTransformer2DModel over ``mesh`` (axes 'dp', 'tp').
+
+    LiteLA's 32-dim heads column-shard on qkv_proj ([q|k|v] 3-section
+    permutation); the GLUMBConv inverted projection's [value|gate] halves
+    get the 2-section permutation with the depthwise-conv channels permuted
+    and sharded in lockstep; out_proj / point run row-parallel with
+    in-module psums. The bf16 cross-attention kv_linear column-shards its
+    [k|v] halves."""
+    tp = mesh.shape["tp"]
+    _set_tp_axis(model, "tp")
+    if tp > 1:
+        _reorder_qkv_columns(model, tp)
+        _scale_row_parallel_bias(model, tp)
+    specs = flux_param_specs(model)
+    sharded = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), model, specs
+    )
+
+    data_specs = (
+        P("dp", None, None),  # hidden_states (patch-1 latent tokens)
+        P("dp", None, None),  # encoder_hidden_states
+        P("dp"),  # timestep
     )
 
     @jax.jit

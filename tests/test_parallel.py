@@ -184,3 +184,43 @@ def test_tp_zimage_matches_single_device():
     corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
     assert err < 0.03, err
     assert corr > 0.999, corr
+
+
+def test_tp_sana_matches_single_device():
+    """parallelize_sana: LiteLA head sharding, GLUMBConv [value|gate]
+    permutation with lockstep depthwise-conv channel permutation, bf16
+    kv_linear [k|v] halves. int8 mode for the tight bound (see the
+    Z-Image test note)."""
+    from nunchaku_tpu.models.transformers.transformer_sana import (
+        SanaConfig,
+        SanaTransformer2DModel,
+    )
+    from nunchaku_tpu.parallel.tp import parallelize_sana
+
+    # dim = 32 heads * 32 = 1024; ff_hidden = 1024 (expand 1.0):
+    # local K stays a multiple of the int4 pack block under tp=4
+    cfg = SanaConfig(
+        num_layers=2, num_attention_heads=32, num_cross_attention_heads=8,
+        cross_attention_head_dim=128, caption_channels=512,
+        expand_ratio=1.0, precision="int8",
+    )
+    model = SanaTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+
+    B, S_img, S_txt = 2, 256, 64
+    args = (
+        jax.random.normal(jax.random.PRNGKey(1), (B, S_img, 32), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(2), (B, S_txt, 512), jnp.bfloat16),
+        jnp.full((B,), 0.5, jnp.float32),
+    )
+    ref = jax.jit(lambda m, *a: m(*a))(model, *args)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dp", "tp"))
+    sharded, forward = parallelize_sana(model, mesh)
+    out = forward(sharded, *args)
+
+    a = np.asarray(ref, np.float32)
+    b = np.asarray(out, np.float32)
+    err = np.linalg.norm(a - b) / np.linalg.norm(a)
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert err < 0.03, err
+    assert corr > 0.999, corr
