@@ -300,14 +300,16 @@ class FluxAttention(Module):
         )
 
     def __call__(self, hidden, encoder_hidden=None, rot=None, ip_kv=None,
-                 mods=None):
+                 mods=None, qkv=None):
         """Dual: returns (img_attn_out, txt_attn_out[, ip_attn_out]).
         Single: raw attn (B,S,HD). ``ip_kv = (k_ip, v_ip)`` each (B, S_ip, HD)
         adds IP-Adapter image cross-attention using the image-stream query
         (reference ip_adapter/utils.py:25-491).
         ``mods = ((scale, shift), (scale_txt, shift_txt) | None)``: the
         inputs are RAW residual streams and AdaLN LN+modulate runs fused
-        into the qkv quantize producers (forward_modulated)."""
+        into the qkv quantize producers (forward_modulated).
+        ``qkv``: precomputed image-stream qkv projection (the single-block
+        dual producer computes it outside)."""
         b, s_img, _ = hidden.shape
         merged = (
             encoder_hidden is not None
@@ -320,6 +322,8 @@ class FluxAttention(Module):
             qkv_joint = self.qkv_merged(encoder_hidden, hidden)
             qkv_txt = qkv_joint[:, :s_txt]
             qkv = qkv_joint[:, s_txt:]
+        elif qkv is not None:
+            pass  # caller-provided projection
         elif mods is not None:
             qkv = self.to_qkv.forward_modulated(hidden, *mods[0])
         else:
@@ -437,7 +441,7 @@ def _can_chain(fc1, fc2, m: int) -> bool:
     )
 
 
-def gelu_mlp(fc1, fc2, x, mod=None):
+def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None):
     """fc1 -> GELU -> fc2 (reference fused_gelu_mlp, ops/fused.py:14-83).
 
     int8 mode runs the fused GELU_QUANT chain: fc1's GEMM epilogue emits
@@ -450,7 +454,9 @@ def gelu_mlp(fc1, fc2, x, mod=None):
     lead = x.shape[:-1]
     m = math.prod(lead)
     if _can_chain(fc1, fc2, m):
-        if mod is not None:
+        if pre_quant is not None:
+            qact, asc, la = pre_quant
+        elif mod is not None:
             # fused LN+modulate+quantize producer: x is the RAW stream
             from ..ops.quantize import ln_mod_quant_int8
 

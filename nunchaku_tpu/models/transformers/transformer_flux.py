@@ -212,7 +212,12 @@ class FluxSingleTransformerBlock(Module):
         )
         if fused_ln:
             # the shared AdaLN output feeds BOTH producers; two fused
-            # one-read producers still beat one norm pass + two quantizes
+            # one-read producers beat one norm pass + two XLA quantizes.
+            # (A dual-output producer kernel — ln_mod_quant_int8_dual, one
+            # read + one LN emitting both quantized activations — measured
+            # +10 ms/step SLOWER in-model: the doubled per-tile output DMA
+            # serializes against the next tile's read. Kept opt-in in
+            # ops/quantize.py for narrower-stream models.)
             shift_msa, scale_msa, gate = self.norm.mod_vectors(temb, mod=mod)
             attn = self.attn(x, None, rot, mods=((scale_msa, shift_msa), None))
             mlp = gelu_mlp(self.mlp_fc1, self.mlp_fc2, x, mod=(scale_msa, shift_msa))

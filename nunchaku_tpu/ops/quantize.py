@@ -242,3 +242,107 @@ def ln_mod_quant_int8(
       rsmooth, proj_down.astype(jnp.bfloat16))
     m = b * s
     return q.reshape(m, k), sc.reshape(1, m), la.reshape(m, r)
+
+
+def _ln_mod_quant2_kernel(
+    x_ref, sc_ref, sh_ref, rsm_a_ref, pd_a_ref, rsm_b_ref, pd_b_ref,
+    qa_ref, sa_ref, laa_ref, qb_ref, sb_ref, lab_ref,
+    *, eps: float,
+):
+    x = x_ref[0].astype(jnp.float32)  # (bm, K)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps)
+    y = y * (1.0 + sc_ref[0].astype(jnp.float32)) + sh_ref[0].astype(jnp.float32)
+    yb = y.astype(jnp.bfloat16)
+
+    def quant(rsm_ref, pd_ref, q_ref, s_ref, la_ref):
+        la_ref[0] = jnp.dot(yb, pd_ref[...], preferred_element_type=jnp.float32)
+        h = y * rsm_ref[...].astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+        scale = absmax / 127.0
+        rcp = jnp.where(scale == 0, 0.0, 1.0 / jnp.where(scale == 0, 1.0, scale))
+        q_ref[0] = jnp.clip(jnp.round(h * rcp), -127, 127).astype(jnp.int8)
+        s_ref[0] = scale.reshape(1, -1)
+
+    quant(rsm_a_ref, pd_a_ref, qa_ref, sa_ref, laa_ref)
+    quant(rsm_b_ref, pd_b_ref, qb_ref, sb_ref, lab_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "bm", "interpret"))
+def ln_mod_quant_int8_dual(
+    x: jnp.ndarray,  # (B, S, K) residual stream
+    mod_scale: jnp.ndarray,  # (B, K)
+    mod_shift: jnp.ndarray,  # (B, K)
+    smooth_a: jnp.ndarray | None,
+    proj_down_a: jnp.ndarray,
+    smooth_b: jnp.ndarray | None,
+    proj_down_b: jnp.ndarray,
+    *,
+    eps: float = 1e-6,
+    bm: int = 512,
+    interpret: bool | None = None,
+):
+    """Shared-AdaLN dual producer (FLUX single blocks: one modulated norm
+    feeds BOTH the attention qkv and the MLP fc1, each with its own smooth
+    factor): one HBM read and one LayerNorm emit two quantized activations.
+    Returns ((qa, sa, la_a), (qb, sb, la_b))."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, s, k = x.shape
+    bm = min(bm, s)
+    if s % bm:
+        raise ValueError(f"S={s} not divisible by bm={bm}")
+
+    def _rsm(smooth):
+        if smooth is None:
+            return jnp.ones((1, k), jnp.float32)
+        sm = smooth.astype(jnp.float32)
+        r = jnp.where(sm == 0, 1.0, 1.0 / jnp.where(sm == 0, 1.0, sm))
+        return r.reshape(1, k)
+
+    ra, rb = _rsm(smooth_a), _rsm(smooth_b)
+    r1, r2 = proj_down_a.shape[1], proj_down_b.shape[1]
+
+    vec = pl.BlockSpec((1, 1, k), lambda bi, i: (bi, 0, 0))
+    row = pl.BlockSpec((1, k), lambda bi, i: (0, 0))
+    outs = lambda r: [
+        pl.BlockSpec((1, bm, k), lambda bi, i: (bi, i, 0)),
+        pl.BlockSpec((1, 1, bm), lambda bi, i: (bi, 0, i)),
+        pl.BlockSpec((1, bm, r), lambda bi, i: (bi, i, 0)),
+    ]
+    shapes = lambda r: [
+        jax.ShapeDtypeStruct((b, s, k), jnp.int8),
+        jax.ShapeDtypeStruct((b, 1, s), jnp.float32),
+        jax.ShapeDtypeStruct((b, s, r), jnp.float32),
+    ]
+    qa, sa, laa, qb, sb, lab = pl.pallas_call(
+        functools.partial(_ln_mod_quant2_kernel, eps=eps),
+        grid=(b, s // bm),
+        in_specs=[
+            pl.BlockSpec((1, bm, k), lambda bi, i: (bi, i, 0)),
+            vec, vec, row,
+            pl.BlockSpec((k, r1), lambda bi, i: (0, 0)),
+            row,
+            pl.BlockSpec((k, r2), lambda bi, i: (0, 0)),
+        ],
+        out_specs=outs(r1) + outs(r2),
+        out_shape=shapes(r1) + shapes(r2),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s * k * (r1 + r2) + 12 * b * s * k,
+            bytes_accessed=x.nbytes + 2 * b * s * k,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, mod_scale.reshape(b, 1, k), mod_shift.reshape(b, 1, k),
+      ra, proj_down_a.astype(jnp.bfloat16), rb, proj_down_b.astype(jnp.bfloat16))
+    m = b * s
+    return (
+        (qa.reshape(m, k), sa.reshape(1, m), laa.reshape(m, r1)),
+        (qb.reshape(m, k), sb.reshape(1, m), lab.reshape(m, r2)),
+    )

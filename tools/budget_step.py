@@ -119,7 +119,8 @@ def run(mode: str):
 
     cfg = FluxConfig(precision="int8")
     model = FluxTransformer2DModel.dummy_init(cfg)
-    args = _flux_inputs(cfg, B=1, S_img=4096, S_txt=512)
+    import os as _os
+    args = _flux_inputs(cfg, B=int(_os.environ.get("BUDGET_B", "1")), S_img=4096, S_txt=512)
     fwd = jax.jit(lambda m, *a: m(*a))
     out = fwd(model, *args)
     _ = float(jnp.sum(out.astype(jnp.float32)))
