@@ -278,7 +278,13 @@ class SVDQW4A4Linear(Module):
         (B, K) AdaLN vectors pre-adjusted for (1 + scale)."""
         b, s, k = x.shape
         bm = next((c for c in (512, 384, 256, 128, 64, 32, 16, 8) if s % c == 0), None)
-        if self.precision == "int8" and bm is not None and k == self.in_features:
+        if (
+            self.precision == "int8"  # w4a8 takes the same int8 acts but
+            # measured +13 ms/step with the producer (tools notes) — int8 only
+            and not self.act_unsigned
+            and bm is not None
+            and k == self.in_features
+        ):
             from ..ops.quantize import ln_mod_quant_int8
 
             q, asc, la = ln_mod_quant_int8(

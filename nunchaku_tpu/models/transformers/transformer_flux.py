@@ -124,6 +124,8 @@ class FluxTransformerBlock(Module):
         fused_ln = (
             FUSED_LN_QUANT
             and sdt == jnp.bfloat16
+            # int8 only: w4a8 measured +13 ms/step WITH the producer (its
+            # Pallas GEMM loses the overlap the XLA quantize chain gave it)
             and getattr(self.attn.to_qkv, "precision", None) == "int8"
             and getattr(self.attn, "qkv_merged", None) is None
         )
