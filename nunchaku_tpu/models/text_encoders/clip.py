@@ -24,18 +24,21 @@ def _layer_norm(x, w, b, eps=1e-5):
 
 
 class CLIPBlock(Module):
-    def __init__(self, ln1_w, ln1_b, q, k, v, o, ln2_w, ln2_b, fc1, fc2, *, heads):
+    def __init__(self, ln1_w, ln1_b, q, k, v, o, ln2_w, ln2_b, fc1, fc2, *, heads,
+                 act: str = "quick_gelu", eps: float = 1e-5):
         self.ln1_w, self.ln1_b = ln1_w, ln1_b
         self.q, self.k, self.v, self.o = q, k, v, o
         self.ln2_w, self.ln2_b = ln2_w, ln2_b
         self.fc1, self.fc2 = fc1, fc2
         self.heads = heads
+        self.act = act  # "quick_gelu" (CLIP) or "gelu_tanh" (SigLIP)
+        self.eps = eps
 
     def __call__(self, x, mask):
         b, s, d = x.shape
         h = self.heads
         hd = d // h
-        y = _layer_norm(x, self.ln1_w, self.ln1_b)
+        y = _layer_norm(x, self.ln1_w, self.ln1_b, self.eps)
 
         def split(t):
             return t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
@@ -50,9 +53,13 @@ class CLIPBlock(Module):
         o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
         x = x + self.o(o).astype(x.dtype)
 
-        y = _layer_norm(x, self.ln2_w, self.ln2_b)
+        y = _layer_norm(x, self.ln2_w, self.ln2_b, self.eps)
         hmid = self.fc1(y).astype(jnp.float32)
-        hmid = hmid * jax.nn.sigmoid(1.702 * hmid)  # quick-GELU
+        if self.act == "gelu_tanh":
+            c = 0.7978845608028654  # sqrt(2/pi), torch gelu(approximate="tanh")
+            hmid = 0.5 * hmid * (1.0 + jnp.tanh(c * (hmid + 0.044715 * hmid**3)))
+        else:
+            hmid = hmid * jax.nn.sigmoid(1.702 * hmid)  # quick-GELU
         return x + self.fc2(hmid.astype(jnp.bfloat16)).astype(x.dtype)
 
 

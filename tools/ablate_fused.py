@@ -64,19 +64,35 @@ if mode.startswith("chain-t"):
     A.svdq_gemm_w8a8_gelu_quant = forced
 
 if mode == "poly-gelu":
-    # minimax-ish odd polynomial for tanh on [-4, 4], clamped; replaces the
-    # transcendental in the chain epilogue
+    # Pade(7,6) continued-fraction tanh, clamped at |u|=4.97 where the
+    # rational crosses 1; max |gelu err| 1.8e-4 (invisible under int8
+    # quantization). Replaces the transcendental in the chain epilogue.
+    # (A previous odd-poly fit here had sign-flipping coefficients — any
+    # old measurement of this mode was numerically invalid.)
     def _poly_tanh_gelu(x):
         c = 0.7978845608028654
         u = c * (x + 0.044715 * x * x * x)
-        u = jnp.clip(u, -4.0, 4.0)
+        u = jnp.clip(u, -4.97, 4.97)
         u2 = u * u
-        # tanh(u) ~ u*(a0 + u2*(a1 + u2*(a2 + u2*a3))) fitted on [-4,4]
-        t = u * (0.9996796 + u2 * (-0.3176925 + u2 * (0.0863689 + u2 * (-0.0110901))))
-        t = jnp.clip(t, -1.0, 1.0)
-        return 0.5 * x * (1.0 + t)
+        num = u * (135135.0 + u2 * (17325.0 + u2 * (378.0 + u2)))
+        den = 135135.0 + u2 * (62370.0 + u2 * (3150.0 + u2 * 28.0))
+        return 0.5 * x * (1.0 + num / den)
 
     G._tanh_gelu = _poly_tanh_gelu
+
+if mode == "exp2-gelu":
+    # exact tanh via the exp2 identity: tanh(u) = 1 - 2/(1 + exp2(2u*log2e));
+    # one hardware exp2 + one reciprocal instead of the tanh expansion
+    LOG2E = 1.4426950408889634
+
+    def _exp2_tanh_gelu(x):
+        c = 0.7978845608028654
+        u = c * (x + 0.044715 * x * x * x)
+        e = jnp.exp2(jnp.clip(2.0 * LOG2E * u, -126.0, 126.0))
+        t = 1.0 - 2.0 / (1.0 + e)
+        return 0.5 * x * (1.0 + t)
+
+    G._tanh_gelu = _exp2_tanh_gelu
 
 if mode == "xla-all":
     G._int8_use_xla = lambda m, k, n: True
