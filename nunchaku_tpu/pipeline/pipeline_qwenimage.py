@@ -1,12 +1,21 @@
-"""Qwen-Image text-to-image pipeline (diffusers-compatible surface).
+"""Qwen-Image text-to-image and image-edit pipeline (diffusers-compatible
+surface).
 
-Counterpart of the diffusers QwenImagePipeline the reference plugs its
-NunchakuQwenImageTransformer2DModel into (examples/v1/qwen-image.py): flow-
-match Euler schedule with Qwen's static shift, true classifier-free
-guidance (two transformer evals per step against negative prompt embeds —
-Qwen has no guidance embedding), and the Lightning presets (reference
+Counterpart of the diffusers QwenImagePipeline / QwenImageEditPipeline the
+reference plugs its NunchakuQwenImageTransformer2DModel into
+(examples/v1/qwen-image.py, qwen-image-edit[-2509].py): flow-match Euler
+schedule with Qwen's static shift, true classifier-free guidance (two
+transformer evals per step against negative prompt embeds — Qwen has no
+guidance embedding), and the Lightning presets (reference
 tests/v1/qwenimage/*lightning*: distilled checkpoints run 4/8 steps with
 cfg 1.0).
+
+Edit conditioning follows the QwenEmbedRope contract: each conditioning
+image is VAE-encoded, packed, and appended to the image token sequence
+with rope frame index i+1 (diffusers _compute_video_freqs offsets the
+frame axis by the img_shapes list index; the generated image is index 0).
+Only the first S_img velocity rows integrate. Edit-2509 ("edit-plus")
+passes multiple images — frame indices 1..N.
 """
 
 from __future__ import annotations
@@ -42,6 +51,23 @@ class QwenImagePipeline:
         self.text_encoder = text_encoder  # Qwen2.5-VL adapter
         self.tokenizer = tokenizer
 
+    def prepare_edit(self, images) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Edit conditioning image(s) -> (tokens (B, S_cond, C), ids).
+
+        Accepts one (B, H, W, 3) array in [0, 1] or a list of them
+        (edit-2509 multi-image). Image i gets rope frame index i+1."""
+        if self.vae is None or self.vae.encoder is None:
+            raise ValueError("edit conditioning needs a VAE with an encoder")
+        if not isinstance(images, (list, tuple)):
+            images = [images]
+        toks, ids = [], []
+        for i, im in enumerate(images):
+            z = self.vae.encode(jnp.asarray(im).astype(jnp.bfloat16))
+            toks.append(pack_latents(z).astype(jnp.bfloat16))
+            h2, w2 = im.shape[1] // 16, im.shape[2] // 16
+            ids.append(make_img_ids(h2, w2).at[:, 0].set(i + 1))
+        return jnp.concatenate(toks, axis=1), jnp.concatenate(ids, axis=0)
+
     def __call__(
         self,
         prompt_embeds: jnp.ndarray,  # (B, S_txt, joint_dim)
@@ -53,6 +79,9 @@ class QwenImagePipeline:
         seed: int = 0,
         latents: jnp.ndarray | None = None,
         lightning: str | None = None,  # "lightning-4step" | "lightning-8step"
+        image=None,  # edit: (B, H, W, 3) in [0, 1] or list of them
+        cond_tokens: jnp.ndarray | None = None,  # pre-packed edit latents
+        cond_ids: jnp.ndarray | None = None,
     ) -> QwenImagePipelineOutput:
         if lightning is not None:
             preset = LIGHTNING_PRESETS[lightning]
@@ -71,6 +100,16 @@ class QwenImagePipeline:
             latents = pack_latents(lat).astype(jnp.bfloat16)
 
         img_ids = make_img_ids(lh // 2, lw // 2)
+        if image is not None:
+            cond_tokens, cond_ids = self.prepare_edit(image)
+        if cond_tokens is not None:
+            img_ids = jnp.concatenate([img_ids, cond_ids], axis=0)
+            if cond_tokens.shape[0] < b:
+                cond_tokens = jnp.broadcast_to(
+                    cond_tokens, (b,) + cond_tokens.shape[1:]
+                )
+        else:
+            cond_tokens = jnp.zeros((b, 0, latents.shape[-1]), jnp.bfloat16)
         sigmas = flux_sigmas(num_inference_steps, image_seq_len=s_img)
         sig_pairs = jnp.stack([jnp.asarray(sigmas[:-1]), jnp.asarray(sigmas[1:])], axis=1)
         use_cfg = negative_prompt_embeds is not None and true_cfg_scale > 1.0
@@ -78,7 +117,8 @@ class QwenImagePipeline:
 
         lat_f, = _denoise(
             model, latents.astype(jnp.float32), prompt_embeds, neg, img_ids,
-            sig_pairs, cfg_scale=float(true_cfg_scale), use_cfg=use_cfg,
+            cond_tokens, sig_pairs,
+            cfg_scale=float(true_cfg_scale), use_cfg=use_cfg,
         )
         latents = lat_f.astype(jnp.bfloat16)
         images = None
@@ -89,15 +129,19 @@ class QwenImagePipeline:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg_scale", "use_cfg"), donate_argnums=(1,))
-def _denoise(model, lat0, pe, npe, img_ids, sig_pairs, *, cfg_scale, use_cfg):
+def _denoise(model, lat0, pe, npe, img_ids, cond_tokens, sig_pairs, *,
+             cfg_scale, use_cfg):
     b = lat0.shape[0]
+    s_img = lat0.shape[1]
 
     def one_step(lat, sig, sig_next):
         t = jnp.full((b,), sig, jnp.float32)
         x = lat.astype(jnp.bfloat16)
-        vel = model(x, pe, t, img_ids)
+        if cond_tokens.shape[1]:
+            x = jnp.concatenate([x, cond_tokens], axis=1)
+        vel = model(x, pe, t, img_ids)[:, :s_img]
         if use_cfg:
-            vel_neg = model(x, npe, t, img_ids)
+            vel_neg = model(x, npe, t, img_ids)[:, :s_img]
             vel = vel_neg + cfg_scale * (vel - vel_neg)
         return euler_step(lat, vel, sig, sig_next)
 
