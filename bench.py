@@ -34,8 +34,10 @@ def main():
     cfg = FluxConfig(precision="int8")  # int8-MXU turbo mode (SVDQuant checkpoints requantized at load)
     model = FluxTransformer2DModel.dummy_init(cfg)
     # turbo config: bf16 residual streams, matching the reference C++
-    # engine's bf16 hidden states (src/FluxModel.cpp)
+    # engine's bf16 hidden states (src/FluxModel.cpp), plus the fused
+    # attention prologue (head-gridded Pallas qkv_rope_producer)
     model.set_stream_dtype(jnp.bfloat16)
+    model.enable_fused_qkv_prep()
     args = _flux_inputs(cfg, B=1, S_img=4096, S_txt=512)
 
     fwd = jax.jit(lambda m, *a: m(*a))

@@ -26,6 +26,7 @@ from ..ops.attention import (
     flash_attention_bshd,
     flash_attention_i8,
     qkv_prepare,
+    qkv_rope_producer,
     quantize_qk,
 )
 from ..ops.gemm import svdq_gemm_w8a8_gelu_quant
@@ -249,25 +250,34 @@ class FluxAttention(Module):
         b, s_img, _ = hidden.shape
         cos, sin = rot
         q_scale = LOG2E / math.sqrt(self.head_dim)
+        if getattr(self, "prep_producer", False):
+            # head-gridded Pallas producer: writes (B, H, S, D) directly,
+            # no XLA transpose/layout copies (ops/attention.py
+            # qkv_rope_producer)
+            def prep(x, c, s, nq, nk):
+                return qkv_rope_producer(
+                    x, c, s, nq, nk, heads=heads_local,
+                    head_dim=self.head_dim, q_scale=q_scale,
+                )
+        else:
+            def prep(x, c, s, nq, nk):
+                return _prep_halfsplit(
+                    x, c, s, nq, nk, heads_local, self.head_dim, q_scale
+                )
         if encoder_hidden is None:
-            q, k, v = _prep_halfsplit(
-                qkv, cos, sin, self.norm_q, self.norm_k,
-                heads_local, self.head_dim, q_scale,
-            )
+            q, k, v = prep(qkv, cos, sin, self.norm_q, self.norm_k)
             return flash_attention(
                 q, k, v, scale=1.0, out_bshd=True, fixed_softmax=True
             )
 
         s_txt = encoder_hidden.shape[1]
         qkv_txt = self.add_qkv_proj(encoder_hidden)
-        q_i, k_i, v_i = _prep_halfsplit(
-            qkv, cos[s_txt:], sin[s_txt:], self.norm_q, self.norm_k,
-            heads_local, self.head_dim, q_scale,
+        q_i, k_i, v_i = prep(
+            qkv, cos[s_txt:], sin[s_txt:], self.norm_q, self.norm_k
         )
-        q_t, k_t, v_t = _prep_halfsplit(
+        q_t, k_t, v_t = prep(
             qkv_txt, cos[:s_txt], sin[:s_txt],
             self.norm_added_q, self.norm_added_k,
-            heads_local, self.head_dim, q_scale,
         )
         q = jnp.concatenate([q_t, q_i], axis=2)
         k = jnp.concatenate([k_t, k_i], axis=2)

@@ -155,6 +155,123 @@ def qkv_prepare(
     return q, k, v
 
 
+def _qkv_rope_producer_kernel(
+    xq_ref, xk_ref, xv_ref, c_ref, s_ref, wq_ref, wk_ref,
+    q_ref, k_ref, v_ref, *, eps, q_scale, half,
+):
+    """One (token-block, head) cell: rmsnorm + half-split rope on a
+    (bm, D) tile. No in-VMEM transpose anywhere — the head-major output
+    layout comes from the grid's head axis + output index_map."""
+    c = c_ref[...].astype(jnp.float32)  # (bm, D)
+    s = s_ref[...].astype(jnp.float32)
+
+    def prep(ref, w_ref, scale):
+        a = ref[0].astype(jnp.float32)  # (bm, D)
+        ms = jnp.mean(a * a, axis=-1, keepdims=True)
+        a = a * jax.lax.rsqrt(ms + eps) * w_ref[...].astype(jnp.float32)
+        rolled = pltpu.roll(a, half, axis=1)  # [a2 | a1]
+        out = a * c + rolled * s
+        if scale != 1.0:
+            out = out * scale
+        return out.astype(q_ref.dtype)
+
+    q_ref[0, 0] = prep(xq_ref, wq_ref, q_scale)
+    k_ref[0, 0] = prep(xk_ref, wk_ref, 1.0)
+    v_ref[0, 0] = xv_ref[0].astype(v_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "head_dim", "q_scale", "eps", "bm", "interpret"),
+)
+def qkv_rope_producer(
+    qkv: jnp.ndarray,      # (B, S, 3*H*D) fused-QKV GEMM output
+    cos: jnp.ndarray,      # (S, D) f32 half-split rope table
+    sin: jnp.ndarray,      # (S, D) f32 (first half negated)
+    norm_q: jnp.ndarray,   # (D,) q RMSNorm weight (half-split permuted)
+    norm_k: jnp.ndarray,   # (D,)
+    *,
+    heads: int,
+    head_dim: int,
+    q_scale: float = 1.0,  # softmax scale * log2(e), folded into q
+    eps: float = 1e-6,
+    bm: int | None = None,
+    interpret: bool | None = None,
+):
+    """-> q, k, v each (B, H, S, D) bf16, normed + rotated (+ q prescaled).
+
+    Successor of ``qkv_prepare`` (kept above for reference): that kernel
+    transposed (bs, H, D) -> (H, bs, D) inside VMEM and measured 4x slower
+    than the XLA chain. Here the grid gains a *head* axis — each cell
+    reads three (bm, D) column slices of the GEMM output and writes (bm, D)
+    tiles straight into the (B, H, S, D) outputs via the index_map, so the
+    'transpose' is pure DMA addressing. The head axis iterates fastest, so
+    the rope-table blocks (index constant in h) are fetched once per row
+    block, not once per head. Replaces the XLA chain's two f32 (S, H, D)
+    materializations + three layout copies (~15 ms/step at FLUX 1024px)
+    with a single minimal-traffic pass."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, s, n3 = qkv.shape
+    hd = heads * head_dim
+    if n3 != 3 * hd:
+        raise ValueError(f"qkv last dim {n3} != 3*{heads}*{head_dim}")
+    if bm is None:
+        bm = next(
+            (c_ for c_ in (1536, 1152, 768, 512, 384, 256, 128) if s % c_ == 0),
+            128,
+        )
+    pad = (-s) % bm
+    if pad:
+        qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
+        cos = jnp.pad(cos, ((0, pad), (0, 0)))
+        sin = jnp.pad(sin, ((0, pad), (0, 0)))
+    sp = s + pad
+    d = head_dim
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _qkv_rope_producer_kernel,
+            eps=eps, q_scale=q_scale, half=d // 2,
+        ),
+        grid=(b, sp // bm, heads),
+        in_specs=[
+            pl.BlockSpec((1, bm, d), lambda bi, i, h: (bi, i, h)),
+            pl.BlockSpec((1, bm, d), lambda bi, i, h, H=heads: (bi, i, H + h)),
+            pl.BlockSpec((1, bm, d), lambda bi, i, h, H=heads: (bi, i, 2 * H + h)),
+            pl.BlockSpec((bm, d), lambda bi, i, h: (i, 0)),
+            pl.BlockSpec((bm, d), lambda bi, i, h: (i, 0)),
+            pl.BlockSpec((1, d), lambda bi, i, h: (0, 0)),
+            pl.BlockSpec((1, d), lambda bi, i, h: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bm, d), lambda bi, i, h: (bi, h, i, 0)),
+            pl.BlockSpec((1, 1, bm, d), lambda bi, i, h: (bi, h, i, 0)),
+            pl.BlockSpec((1, 1, bm, d), lambda bi, i, h: (bi, h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, heads, sp, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, heads, sp, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, heads, sp, d), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * b * sp * hd,
+            bytes_accessed=12 * b * sp * hd + 8 * sp * d,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv,  # one buffer, three column-sliced BlockSpec views
+      cos.astype(jnp.float32), sin.astype(jnp.float32),
+      norm_q.reshape(1, d), norm_k.reshape(1, d))
+    q, k, v = outs
+    if pad:
+        q, k, v = q[:, :, :s], k[:, :, :s], v[:, :, :s]
+    return q, k, v
+
+
 def rope_table_halfsplit(rot: jnp.ndarray):
     """Interleaved rope table (S, D/2, 2) -> half-split (cos, sin) each (S, D).
 

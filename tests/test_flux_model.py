@@ -95,7 +95,8 @@ class TestFusedQKVPrep:
     the unfused interleaved-rope path."""
 
     @pytest.mark.parametrize("precision", ["int8", "int4"])
-    def test_model_equivalence(self, precision):
+    @pytest.mark.parametrize("producer", [True, False])
+    def test_model_equivalence(self, precision, producer):
         cfg = FluxConfig(
             num_layers=1, num_single_layers=2, num_attention_heads=2,
             joint_attention_dim=512, pooled_projection_dim=256,
@@ -104,7 +105,7 @@ class TestFusedQKVPrep:
         base = FluxTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
         fused = FluxTransformer2DModel.random_init(
             jax.random.PRNGKey(0), cfg
-        ).enable_fused_qkv_prep()
+        ).enable_fused_qkv_prep(producer=producer)
         args = _inputs()
         f = jax.jit(lambda m, *a: m(*a))
         ref = np.asarray(f(base, *args), np.float32)

@@ -137,6 +137,10 @@ cfg = FluxConfig(precision="int8")
 model = FluxTransformer2DModel.dummy_init(cfg)
 if mode.startswith("fused"):
     model = model.enable_fused_qkv_prep()
+if mode == "fused-producer":
+    # head-gridded Pallas qkv_rope_producer instead of the XLA halfsplit chain
+    model.transformer_blocks.attn.prep_producer = True
+    model.single_transformer_blocks.attn.prep_producer = True
 if mode == "attn-i8":
     model.transformer_blocks.attn.attn_int8 = True
     model.single_transformer_blocks.attn.attn_int8 = True
