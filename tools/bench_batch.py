@@ -1,14 +1,14 @@
 """Batched serving throughput: FLUX int8-turbo step latency and
 images/sec/chip at B = 1, 2, 4 (1024px).
 
-MEASURED 2026-08-17 (one v5e): B=1 362.6 ms (199 img/h), B=2 902.7 ms
-(160 img/h) — batching currently scales SUPER-linearly in-model even
-though every standalone component scales sub-linearly (flash 1.48x,
-int8 dot 1.59x at 2x work; compiled temp memory is only 743 MB, no HBM
-pressure). Chain kernel and fused-LN producer are not the cause
-(disabling either makes B=2 slower still). Until the scheduler-level
-cause is found, single-image latency is the serving sweet spot on one
-chip; scale throughput by replicating across chips (dp) instead."""
+MEASURED 2026-08-17 (one v5e, fused qkv_rope_producer): B=1 334.6 ms
+(215 img/h), B=2 711.8 ms (202 img/h) = 2.13x. The old 2.49x anomaly
+(B=1 362.6 / B=2 902.7) was mostly the attention-prologue layout copies
+the head-gridded Pallas producer eliminated. The remaining 13% excess is
+XLA fusion regressions at B=2 (trace: qkv_rope_producer 3.1x, a new
+19 ms convert_add_fusion, lora-add fusions 3.2x; flash/chain/fc2 all
+scale at 1.9-2.0x). Single-image latency stays the serving sweet spot
+on one chip; scale throughput by replicating across chips (dp)."""
 import sys, time, os, gc
 sys.path.insert(0, "/root/repo")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
@@ -24,6 +24,8 @@ cfg = TF.FluxConfig(precision="int8")
 for B in ([int(x) for x in sys.argv[1:]] or (1, 2, 4)):
     model = TF.FluxTransformer2DModel.dummy_init(cfg)
     model.set_stream_dtype(jnp.bfloat16)
+    if "--no-fused" not in sys.argv:
+        model.enable_fused_qkv_prep()
     args = _flux_inputs(cfg, B=B, S_img=4096, S_txt=512)
     fwd = jax.jit(lambda m, *a: m(*a))
     t0 = time.time()
