@@ -39,6 +39,8 @@ def main():
     args = ap.parse_args()
 
     transformer = load_flux_transformer(args.transformer, precision=args.precision)
+    # fused attention prologue (call after any LoRA application)
+    transformer.enable_fused_qkv_prep()
     vae = load_autoencoder(args.vae) if args.vae else None
     t5 = load_t5_encoder(args.t5) if args.t5 else None
     clip = load_clip_text(args.clip) if args.clip else None

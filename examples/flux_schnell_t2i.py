@@ -35,6 +35,8 @@ def main():
     args = ap.parse_args()
 
     transformer = load_flux_transformer(args.transformer, precision=args.precision)
+    # fused attention prologue (call after any LoRA application)
+    transformer.enable_fused_qkv_prep()
     pipe = FluxPipeline(
         transformer,
         vae=load_autoencoder(args.vae) if args.vae else None,

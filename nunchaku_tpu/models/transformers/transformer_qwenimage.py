@@ -81,6 +81,19 @@ class QwenImageTransformer2DModel(Module):
         # transformer_qwenimage.py:505 txt_norm before txt_in)
         self.txt_norm = txt_norm
 
+    def enable_fused_qkv_prep(self, producer: bool = True):
+        """Fused attention prologue for the Qwen MMDiT (shares the FLUX
+        dual block): half-split q/k weight permutation + the head-gridded
+        Pallas qkv_rope_producer. See FluxTransformer2DModel for the
+        measured wins. Call once after load (before parallelize)."""
+        from ..attention import permute_qk_halfsplit
+
+        permute_qk_halfsplit(self.blocks.attn)
+        if producer:
+            self.blocks.attn.prep_producer = True
+        self._rope_halfsplit = True
+        return self
+
     @classmethod
     def random_init(cls, key, cfg: QwenImageConfig):
         ks = jax.random.split(key, 6)
@@ -130,6 +143,10 @@ class QwenImageTransformer2DModel(Module):
             txt_ids = jnp.tile(pos, (1, 3))
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)
         rot = rope_table(ids, cfg.axes_dims_rope)
+        if getattr(self, "_rope_halfsplit", False):
+            from ...ops.attention import rope_table_halfsplit
+
+            rot = rope_table_halfsplit(rot)
 
         def body(carry, block):
             im, tx = block(*carry, temb, rot)

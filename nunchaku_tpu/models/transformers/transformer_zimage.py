@@ -23,6 +23,8 @@ from the checkpoint (loader below).
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass
 
 import jax
@@ -31,7 +33,7 @@ import jax.numpy as jnp
 from ...core.module import Module
 from ..attention import gelu_mlp  # noqa: F401  (FF chain parity for int8)
 from ..attention import qkv_norm_rope
-from ...ops.attention import flash_attention
+from ...ops.attention import LOG2E, flash_attention, qkv_rope_producer
 from ...ops.quantize import quantize_w4a4_act_fuse_lora
 from ..embeddings import rope_table, timestep_embedding
 from ..linear import Linear, SVDQW4A4Linear, pad_rows
@@ -98,9 +100,24 @@ class ZImageAttention(Module):
     def __call__(self, x, rot):
         b, s, _ = x.shape
         qkv = self.to_qkv(x)
-        q, k, v = qkv_norm_rope(qkv, self.head_dim, self.norm_q, self.norm_k, rot)
-        o = flash_attention(q, k, v)
-        o = o.transpose(0, 2, 1, 3).reshape(b, s, -1)
+        heads_local = qkv.shape[-1] // 3 // self.head_dim
+        prescale = LOG2E / math.sqrt(self.head_dim)
+        if isinstance(rot, tuple):
+            # half-split table: weights were permuted (enable_fused_qkv_prep
+            # on the model); run the head-gridded Pallas producer
+            cos, sin = rot
+            q, k, v = qkv_rope_producer(
+                qkv, cos, sin, self.norm_q, self.norm_k,
+                heads=heads_local, head_dim=self.head_dim, q_scale=prescale,
+            )
+        else:
+            q, k, v = qkv_norm_rope(
+                qkv, self.head_dim, self.norm_q, self.norm_k, rot,
+                prescale=prescale,
+            )
+        o = flash_attention(
+            q, k, v, scale=1.0, out_bshd=True, fixed_softmax=True
+        )
         out = self.to_out(o)
         if self.tp_axis is not None:
             out = jax.lax.psum(out, self.tp_axis)
@@ -251,6 +268,31 @@ class ZImageTransformer2DModel(Module):
             Linear.random_init(ks[8], cfg.t_dim, dim),
         )
 
+    def enable_fused_qkv_prep(self, producer: bool = True):
+        """Fused attention prologue: half-split q/k permutation of every
+        attention stack (main layers + both refiners) and the head-gridded
+        Pallas qkv_rope_producer (tuple rope tables are converted once per
+        forward). See FluxTransformer2DModel for measured wins."""
+        from ..attention import _halfsplit_head_perm, _halfsplit_qkv_perm, \
+            _permute_out_channels
+
+        if not producer:
+            raise ValueError(
+                "Z-Image has no XLA half-split path; producer must be True"
+            )
+        for stack in (self.noise_refiner, self.context_refiner, self.layers):
+            attn = stack.attention
+            n = attn.to_qkv.qweight.shape[-1]
+            perm = _halfsplit_qkv_perm(attn.heads, attn.head_dim, n)
+            hperm = jnp.asarray(_halfsplit_head_perm(attn.head_dim))
+            _permute_out_channels(attn.to_qkv, perm)
+            attn.norm_q = jnp.take(attn.norm_q, hperm, axis=-1)
+            attn.norm_k = jnp.take(attn.norm_k, hperm, axis=-1)
+            if producer:
+                attn.prep_producer = True
+        self._rope_halfsplit = True
+        return self
+
     def _scan(self, stacked, x, temb, rot):
         def body(carry, block):
             return block(carry, temb, rot), None
@@ -276,13 +318,19 @@ class ZImageTransformer2DModel(Module):
 
         rot_img = rope_table(img_ids, cfg.axes_dims_rope)
         rot_txt = rope_table(txt_ids, cfg.axes_dims_rope)
+        rot = jnp.concatenate([rot_txt, rot_img], axis=0)
+        if getattr(self, "_rope_halfsplit", False):
+            from ...ops.attention import rope_table_halfsplit
+
+            rot_img = rope_table_halfsplit(rot_img)
+            rot_txt = rope_table_halfsplit(rot_txt)
+            rot = rope_table_halfsplit(rot)
 
         img = self._scan(self.noise_refiner, img, temb, rot_img)
         cap = self._scan(self.context_refiner, cap, None, rot_txt)
 
         s_txt = cap.shape[1]
         x = jnp.concatenate([cap, img], axis=1)
-        rot = jnp.concatenate([rot_txt, rot_img], axis=0)
         x = self._scan(self.layers, x, temb, rot)
 
         img = x[:, s_txt:]

@@ -77,3 +77,30 @@ def test_edit_multi_image_ids():
     assert ids.shape == (5, 3)
     np.testing.assert_array_equal(np.asarray(ids[:4, 0]), 1)
     np.testing.assert_array_equal(np.asarray(ids[4:, 0]), 2)
+
+
+def test_fused_qkv_prep_equivalence():
+    """Qwen fused prologue (half-split perm + qkv_rope_producer) matches
+    the interleaved-rope baseline."""
+    cfg = QwenImageConfig(
+        num_layers=2, num_attention_heads=2, joint_attention_dim=320
+    )
+    base = QwenImageTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+    fused = QwenImageTransformer2DModel.random_init(
+        jax.random.PRNGKey(0), cfg
+    ).enable_fused_qkv_prep()
+    B, S_img, S_txt = 1, 256, 64
+    ii = np.zeros((S_img, 3), np.int32)
+    ii[:, 1] = np.arange(S_img) // 16
+    ii[:, 2] = np.arange(S_img) % 16
+    args = (
+        jax.random.normal(jax.random.PRNGKey(1), (B, S_img, 64), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(2), (B, S_txt, 320), jnp.bfloat16),
+        jnp.array([0.5], jnp.float32),
+        jnp.asarray(ii),
+    )
+    f = jax.jit(lambda m, *a: m(*a))
+    ref = np.asarray(f(base, *args), np.float32)
+    out = np.asarray(f(fused, *args), np.float32)
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert err < 2e-2, err

@@ -181,3 +181,19 @@ def test_zimage_pipeline_smoke():
     out2 = pipe(pe, negative_prompt_embeds=ne, guidance_scale=3.0,
                 height=128, width=128, num_inference_steps=2)
     assert bool(jnp.isfinite(out2.latents.astype(jnp.float32)).all())
+
+
+def test_zimage_fused_qkv_prep_equivalence():
+    """Half-split perm + qkv_rope_producer must match the interleaved path
+    (all three attention stacks permuted)."""
+    cfg = ZImageConfig(**{**CFG, "axes_dims_rope": (32, 48, 48)}, precision="int8")
+    base = ZImageTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+    fused = ZImageTransformer2DModel.random_init(
+        jax.random.PRNGKey(0), cfg
+    ).enable_fused_qkv_prep()
+    args = _inputs()
+    f = jax.jit(lambda m, *a: m(*a))
+    ref = np.asarray(f(base, *args), np.float32)
+    out = np.asarray(f(fused, *args), np.float32)
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert err < 2e-2, err

@@ -59,6 +59,7 @@ def build_pipeline(args):
     ckpt = os.environ.get("NUNCHAKU_TPU_CKPT")
     if ckpt:
         transformer = load_flux_transformer(ckpt, precision=args.precision)
+        transformer.enable_fused_qkv_prep()
     else:
         cfg = FluxConfig(precision=args.precision,
                          guidance_embeds=args.model == "dev")
