@@ -272,16 +272,39 @@ class FluxAttention(Module):
 
         s_txt = encoder_hidden.shape[1]
         qkv_txt = self.add_qkv_proj(encoder_hidden)
-        q_i, k_i, v_i = prep(
-            qkv, cos[s_txt:], sin[s_txt:], self.norm_q, self.norm_k
-        )
-        q_t, k_t, v_t = prep(
-            qkv_txt, cos[:s_txt], sin[:s_txt],
-            self.norm_added_q, self.norm_added_k,
-        )
-        q = jnp.concatenate([q_t, q_i], axis=2)
-        k = jnp.concatenate([k_t, k_i], axis=2)
-        v = jnp.concatenate([v_t, v_i], axis=2)
+        bm_shared = None
+        if getattr(self, "prep_producer", False):
+            bm_shared = next(
+                (c for c in (512, 384, 256, 128)
+                 if s_txt % c == 0 and s_img % c == 0),
+                None,
+            )
+        if bm_shared is not None:
+            # both streams write one (B, H, S_joint, D) buffer set
+            # (input_output_aliases) — no S-axis concat afterwards
+            s_joint = s_txt + s_img
+            q, k, v = qkv_rope_producer(
+                qkv, cos[s_txt:], sin[s_txt:], self.norm_q, self.norm_k,
+                heads=heads_local, head_dim=self.head_dim, q_scale=q_scale,
+                bm=bm_shared, out_s=s_joint, s_offset=s_txt,
+            )
+            q, k, v = qkv_rope_producer(
+                qkv_txt, cos[:s_txt], sin[:s_txt],
+                self.norm_added_q, self.norm_added_k,
+                heads=heads_local, head_dim=self.head_dim, q_scale=q_scale,
+                bm=bm_shared, alias_outs=(q, k, v),
+            )
+        else:
+            q_i, k_i, v_i = prep(
+                qkv, cos[s_txt:], sin[s_txt:], self.norm_q, self.norm_k
+            )
+            q_t, k_t, v_t = prep(
+                qkv_txt, cos[:s_txt], sin[:s_txt],
+                self.norm_added_q, self.norm_added_k,
+            )
+            q = jnp.concatenate([q_t, q_i], axis=2)
+            k = jnp.concatenate([k_t, k_i], axis=2)
+            v = jnp.concatenate([v_t, v_i], axis=2)
         o = flash_attention(q, k, v, scale=1.0, out_bshd=True, fixed_softmax=True)
         txt_o, img_o = o[:, :s_txt], o[:, s_txt:]
         return (self._psum(self.to_out(img_o)), self._psum(self.to_add_out(txt_o)))

@@ -157,8 +157,10 @@ def qkv_prepare(
 
 def _qkv_rope_producer_kernel(
     xq_ref, xk_ref, xv_ref, c_ref, s_ref, wq_ref, wk_ref,
-    q_ref, k_ref, v_ref, *, eps, q_scale, half,
+    *rest, eps, q_scale, half, n_alias=0,
 ):
+    # trailing refs: [n_alias ANY-space aliased buffers], q, k, v outputs
+    q_ref, k_ref, v_ref = rest[n_alias:]
     """One (token-block, head) cell: rmsnorm + half-split rope on a
     (bm, D) tile. No in-VMEM transpose anywhere — the head-major output
     layout comes from the grid's head axis + output index_map."""
@@ -182,7 +184,10 @@ def _qkv_rope_producer_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "head_dim", "q_scale", "eps", "bm", "interpret"),
+    static_argnames=(
+        "heads", "head_dim", "q_scale", "eps", "bm", "out_s", "s_offset",
+        "interpret",
+    ),
 )
 def qkv_rope_producer(
     qkv: jnp.ndarray,      # (B, S, 3*H*D) fused-QKV GEMM output
@@ -196,6 +201,9 @@ def qkv_rope_producer(
     q_scale: float = 1.0,  # softmax scale * log2(e), folded into q
     eps: float = 1e-6,
     bm: int | None = None,
+    out_s: int | None = None,   # total S of the output buffers (>= S)
+    s_offset: int = 0,          # row offset of this call's stream
+    alias_outs=None,            # (q, k, v) (B, H, out_s, D) to write into
     interpret: bool | None = None,
 ):
     """-> q, k, v each (B, H, S, D) bf16, normed + rotated (+ q prescaled).
@@ -221,39 +229,72 @@ def qkv_rope_producer(
             (c_ for c_ in (1536, 1152, 768, 512, 384, 256, 128) if s % c_ == 0),
             128,
         )
-    pad = (-s) % bm
-    if pad:
-        qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
-        cos = jnp.pad(cos, ((0, pad), (0, 0)))
-        sin = jnp.pad(sin, ((0, pad), (0, 0)))
+    shared = out_s is not None or alias_outs is not None
+    if shared:
+        # shared-buffer mode: this call writes rows [s_offset, s_offset+s)
+        # of (B, H, out_s, D) outputs — the txt/img streams of a dual block
+        # land in one buffer, no S-axis concat. Offsets must be
+        # tile-aligned; callers fall back to concat otherwise.
+        if alias_outs is not None:
+            out_s = alias_outs[0].shape[2]
+        if s % bm or s_offset % bm or out_s % bm:
+            raise ValueError(
+                f"shared-buffer mode needs bm-aligned s/s_offset/out_s "
+                f"({s}/{s_offset}/{out_s} vs bm={bm})"
+            )
+        pad = 0
+    else:
+        pad = (-s) % bm
+        if pad:
+            qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
+            cos = jnp.pad(cos, ((0, pad), (0, 0)))
+            sin = jnp.pad(sin, ((0, pad), (0, 0)))
+        out_s = s + pad
+        s_offset = 0
     sp = s + pad
     d = head_dim
+    off = s_offset // bm
+
+    in_specs = [
+        pl.BlockSpec((1, bm, d), lambda bi, i, h: (bi, i, h)),
+        pl.BlockSpec((1, bm, d), lambda bi, i, h, H=heads: (bi, i, H + h)),
+        pl.BlockSpec((1, bm, d), lambda bi, i, h, H=heads: (bi, i, 2 * H + h)),
+        pl.BlockSpec((bm, d), lambda bi, i, h: (i, 0)),
+        pl.BlockSpec((bm, d), lambda bi, i, h: (i, 0)),
+        pl.BlockSpec((1, d), lambda bi, i, h: (0, 0)),
+        pl.BlockSpec((1, d), lambda bi, i, h: (0, 0)),
+    ]
+    operands = [
+        qkv, qkv, qkv,  # one buffer, three column-sliced BlockSpec views
+        cos.astype(jnp.float32), sin.astype(jnp.float32),
+        norm_q.reshape(1, d), norm_k.reshape(1, d),
+    ]
+    aliases = {}
+    if alias_outs is not None:
+        for j, a in enumerate(alias_outs):
+            aliases[len(operands)] = j
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            operands.append(a)
 
     outs = pl.pallas_call(
         functools.partial(
             _qkv_rope_producer_kernel,
             eps=eps, q_scale=q_scale, half=d // 2,
+            n_alias=len(aliases),
         ),
         grid=(b, sp // bm, heads),
-        in_specs=[
-            pl.BlockSpec((1, bm, d), lambda bi, i, h: (bi, i, h)),
-            pl.BlockSpec((1, bm, d), lambda bi, i, h, H=heads: (bi, i, H + h)),
-            pl.BlockSpec((1, bm, d), lambda bi, i, h, H=heads: (bi, i, 2 * H + h)),
-            pl.BlockSpec((bm, d), lambda bi, i, h: (i, 0)),
-            pl.BlockSpec((bm, d), lambda bi, i, h: (i, 0)),
-            pl.BlockSpec((1, d), lambda bi, i, h: (0, 0)),
-            pl.BlockSpec((1, d), lambda bi, i, h: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, bm, d), lambda bi, i, h: (bi, h, i, 0)),
-            pl.BlockSpec((1, 1, bm, d), lambda bi, i, h: (bi, h, i, 0)),
-            pl.BlockSpec((1, 1, bm, d), lambda bi, i, h: (bi, h, i, 0)),
+            pl.BlockSpec((1, 1, bm, d), lambda bi, i, h, o=off: (bi, h, i + o, 0)),
+            pl.BlockSpec((1, 1, bm, d), lambda bi, i, h, o=off: (bi, h, i + o, 0)),
+            pl.BlockSpec((1, 1, bm, d), lambda bi, i, h, o=off: (bi, h, i + o, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, heads, sp, d), jnp.bfloat16),
-            jax.ShapeDtypeStruct((b, heads, sp, d), jnp.bfloat16),
-            jax.ShapeDtypeStruct((b, heads, sp, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, heads, out_s, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, heads, out_s, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, heads, out_s, d), jnp.bfloat16),
         ],
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
@@ -263,9 +304,7 @@ def qkv_rope_producer(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qkv, qkv, qkv,  # one buffer, three column-sliced BlockSpec views
-      cos.astype(jnp.float32), sin.astype(jnp.float32),
-      norm_q.reshape(1, d), norm_k.reshape(1, d))
+    )(*operands)
     q, k, v = outs
     if pad:
         q, k, v = q[:, :, :s], k[:, :, :s], v[:, :, :s]

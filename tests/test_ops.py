@@ -373,3 +373,52 @@ class TestFlashKvUnroll:
         )
         err = float(jnp.max(jnp.abs(o1.astype(jnp.float32) - o2.astype(jnp.float32))))
         assert err < 0.02, err
+
+
+class TestQkvRopeProducerShared:
+    def test_shared_buffer_matches_concat(self):
+        """Dual-stream shared-buffer mode (both calls writing one
+        (B, H, S_joint, D) buffer set via input_output_aliases) must equal
+        running each stream standalone and concatenating on the S axis."""
+        from nunchaku_tpu.ops.attention import qkv_rope_producer
+
+        b, heads, d = 1, 2, 64
+        s_txt, s_img = 128, 256
+        half = d // 2
+        rng_ = np.random.default_rng(7)
+        qkv_i = jnp.asarray(rng_.normal(size=(b, s_img, 3 * heads * d)), jnp.bfloat16)
+        qkv_t = jnp.asarray(rng_.normal(size=(b, s_txt, 3 * heads * d)), jnp.bfloat16)
+        ang = rng_.normal(size=(s_txt + s_img, half))
+        cos = jnp.asarray(np.concatenate([np.cos(ang)] * 2, -1), jnp.float32)
+        sin = jnp.asarray(
+            np.concatenate([-np.sin(ang), np.sin(ang)], -1), jnp.float32
+        )
+        nq = jnp.asarray(rng_.normal(size=(d,)), jnp.bfloat16)
+        nk = jnp.asarray(rng_.normal(size=(d,)), jnp.bfloat16)
+        kw = dict(heads=heads, head_dim=d, q_scale=0.25, bm=128)
+
+        ref_i = qkv_rope_producer(qkv_i, cos[s_txt:], sin[s_txt:], nq, nk, **kw)
+        ref_t = qkv_rope_producer(qkv_t, cos[:s_txt], sin[:s_txt], nq, nk, **kw)
+        ref = [jnp.concatenate([t, i], axis=2) for t, i in zip(ref_t, ref_i)]
+
+        q, k, v = qkv_rope_producer(
+            qkv_i, cos[s_txt:], sin[s_txt:], nq, nk,
+            out_s=s_txt + s_img, s_offset=s_txt, **kw,
+        )
+        q, k, v = qkv_rope_producer(
+            qkv_t, cos[:s_txt], sin[:s_txt], nq, nk,
+            alias_outs=(q, k, v), **kw,
+        )
+        for got, want in zip((q, k, v), ref):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_shared_buffer_alignment_check(self):
+        from nunchaku_tpu.ops.attention import qkv_rope_producer
+
+        qkv = jnp.zeros((1, 100, 3 * 2 * 64), jnp.bfloat16)
+        cos = jnp.zeros((100, 64), jnp.float32)
+        with pytest.raises(ValueError, match="bm-aligned"):
+            qkv_rope_producer(
+                qkv, cos, cos, jnp.ones((64,)), jnp.ones((64,)),
+                heads=2, head_dim=64, bm=128, out_s=384, s_offset=128,
+            )
