@@ -454,8 +454,8 @@ class FeedForward(Module):
             ),
         )
 
-    def __call__(self, x, mod=None):
-        out = gelu_mlp(self.fc1, self.fc2, x, mod=mod)
+    def __call__(self, x, mod=None, stacked=None):
+        out = gelu_mlp(self.fc1, self.fc2, x, mod=mod, stacked=stacked)
         if self.tp_axis is not None:  # fc2 is row-parallel under TP
             out = jax.lax.psum(out, self.tp_axis)
         return out
@@ -474,7 +474,7 @@ def _can_chain(fc1, fc2, m: int) -> bool:
     )
 
 
-def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None):
+def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None):
     """fc1 -> GELU -> fc2 (reference fused_gelu_mlp, ops/fused.py:14-83).
 
     int8 mode runs the fused GELU_QUANT chain: fc1's GEMM epilogue emits
@@ -483,6 +483,12 @@ def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None):
     (reference src/Linear.cpp:270-438). Works under TP unchanged: fc1 is
     column-parallel, fc2 row-parallel — local shards line up and the psum
     happens in the caller. Other precisions use the unfused path.
+
+    ``stacked = (fc1_qw_LKN, fc2_qw_LKN, layer_idx)``: inside a scan over
+    layers, pass the STACKED qweights + index so the Pallas chain kernels
+    read the layer's tiles via scalar prefetch — XLA cannot fuse a
+    dynamic-slice into a custom-call operand and otherwise copies both
+    37.7 MB weights every block (~10 ms/step at FLUX 1024px).
     """
     lead = x.shape[:-1]
     m = math.prod(lead)
@@ -507,12 +513,14 @@ def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None):
             qact, asc, la = fc1.quantize(x2d)
         sm = fc2.smooth.astype(jnp.float32)
         rsm = jnp.where(sm == 0, 1.0, 1.0 / jnp.where(sm == 0, 1.0, sm))
+        fc1_qw, fc2_qw, idx = (None, None, None) if stacked is None else stacked
         qout, qs, la2 = svdq_gemm_w8a8_gelu_quant(
-            qact, asc, fc1.qweight, fc1.wscales, la, fc1.proj_up, fc1.bias,
+            qact, asc, fc1.qweight if fc1_qw is None else fc1_qw,
+            fc1.wscales, la, fc1.proj_up, fc1.bias,
             rsm, fc2.proj_down, act_unsigned_next=bool(fc2.act_unsigned),
-            gelu_shift=GELU_SHIFT,
+            gelu_shift=GELU_SHIFT, layer_idx=idx,
         )
-        out = fc2.forward_quant(qout, qs, la2)
+        out = fc2.forward_quant(qout, qs, la2, qweight=fc2_qw, layer_idx=idx)
         return out[:m].reshape(*lead, out.shape[-1])
     if mod is not None:
         from .normalization import layer_norm

@@ -255,11 +255,15 @@ class SVDQW4A4Linear(Module):
             act_unsigned=self.act_unsigned,
         )
 
-    def forward_quant(self, qact, ascales_t, lora_act):
+    def forward_quant(self, qact, ascales_t, lora_act,
+                      qweight=None, layer_idx=None):
+        # qweight/layer_idx: stacked (L, K, N) weights + scan layer index —
+        # the kernel reads the layer's tiles via scalar prefetch instead of
+        # XLA materializing a per-block dynamic-slice copy (ops/gemm.py)
         return svdq_gemm_w4a4(
             qact,
             ascales_t,
-            self.qweight,
+            self.qweight if qweight is None else qweight,
             self.wscales,
             lora_act,
             self.proj_up,
@@ -267,6 +271,7 @@ class SVDQW4A4Linear(Module):
             self.rescales,
             precision=self.precision,
             act_unsigned=self.act_unsigned,
+            layer_idx=layer_idx,
         )
 
     def forward_modulated(self, x: jnp.ndarray, scale: jnp.ndarray,

@@ -110,7 +110,7 @@ class FluxTransformerBlock(Module):
         )
 
     def __call__(self, img, txt, temb, rot, ip_kv=None, ip_scale: float = 1.0,
-                 mods=None):
+                 mods=None, ff_stacked=None):
         # residual math in f32; the carry is cast back to the stream dtype
         # (f32 default; set_stream_dtype(bf16) halves stream HBM traffic
         # like the reference's bf16 streams, src/FluxModel.cpp)
@@ -155,19 +155,20 @@ class FluxTransformerBlock(Module):
         img = (img + gate_msa[:, None] * attn_img.astype(jnp.float32)).astype(sdt)
         if len(attn_outs) == 3:  # IP-Adapter residual (transformer_flux_v2.py:238)
             img = (img + ip_scale * attn_outs[2].astype(jnp.float32)).astype(sdt)
+        stk_ff, stk_ffc = ff_stacked if ff_stacked is not None else (None, None)
         if fused_ln:
-            ff_out = self.ff(img, mod=(scale_mlp, shift_mlp))
+            ff_out = self.ff(img, mod=(scale_mlp, shift_mlp), stacked=stk_ff)
         else:
             h = layer_norm(img) * (1.0 + scale_mlp[:, None]) + shift_mlp[:, None]
-            ff_out = self.ff(h.astype(attn_img.dtype))
+            ff_out = self.ff(h.astype(attn_img.dtype), stacked=stk_ff)
         img = (img + gate_mlp[:, None] * ff_out.astype(jnp.float32)).astype(sdt)
 
         txt = (txt + c_gate_msa[:, None] * attn_txt.astype(jnp.float32)).astype(sdt)
         if fused_ln:
-            ffc_out = self.ff_context(txt, mod=(c_scale_mlp, c_shift_mlp))
+            ffc_out = self.ff_context(txt, mod=(c_scale_mlp, c_shift_mlp), stacked=stk_ffc)
         else:
             h = layer_norm(txt) * (1.0 + c_scale_mlp[:, None]) + c_shift_mlp[:, None]
-            ffc_out = self.ff_context(h.astype(attn_txt.dtype))
+            ffc_out = self.ff_context(h.astype(attn_txt.dtype), stacked=stk_ffc)
         txt = (txt + c_gate_mlp[:, None] * ffc_out.astype(jnp.float32)).astype(sdt)
         return tap("dual.img_out", img), tap("dual.txt_out", txt)
 
@@ -205,7 +206,7 @@ class FluxSingleTransformerBlock(Module):
             SVDQW4A4Linear.random_init(ks[4], dim, dim, rank=cfg.rank, precision=cfg.precision),
         )
 
-    def __call__(self, x, temb, rot, mod=None):
+    def __call__(self, x, temb, rot, mod=None, mlp_stacked=None):
         fused_ln = (
             FUSED_LN_QUANT
             and x.dtype == jnp.bfloat16
@@ -222,11 +223,12 @@ class FluxSingleTransformerBlock(Module):
             # ops/quantize.py for narrower-stream models.)
             shift_msa, scale_msa, gate = self.norm.mod_vectors(temb, mod=mod)
             attn = self.attn(x, None, rot, mods=((scale_msa, shift_msa), None))
-            mlp = gelu_mlp(self.mlp_fc1, self.mlp_fc2, x, mod=(scale_msa, shift_msa))
+            mlp = gelu_mlp(self.mlp_fc1, self.mlp_fc2, x,
+                           mod=(scale_msa, shift_msa), stacked=mlp_stacked)
         else:
             norm_x, gate = self.norm(x, temb, mod=mod)
             attn = self.attn(norm_x, None, rot)
-            mlp = gelu_mlp(self.mlp_fc1, self.mlp_fc2, norm_x)
+            mlp = gelu_mlp(self.mlp_fc1, self.mlp_fc2, norm_x, stacked=mlp_stacked)
         out = self.attn_out(attn).astype(jnp.float32) + mlp.astype(jnp.float32)
         if self.tp_axis is not None:  # attn_out + mlp_fc2 are row-parallel
             out = jax.lax.psum(out, self.tp_axis)
@@ -409,15 +411,29 @@ class FluxTransformer2DModel(Module):
                 batched_adaln_mod(self.transformer_blocks.norm1_context.linear, temb)[start:stop],
             )
 
+        # Stacked FF weights + per-layer index: the Pallas chain kernels
+        # read layer tiles from the (L, K, N) stacks via scalar prefetch,
+        # so XLA never materializes the per-block weight-slice copies
+        # (int8 chain only; other precisions use the scan-sliced weights
+        # and the stack reference is dead code XLA removes).
+        n = blocks.ff.fc1.qweight.shape[0]
+        stk = (
+            (blocks.ff.fc1.qweight, blocks.ff.fc2.qweight),
+            (blocks.ff_context.fc1.qweight, blocks.ff_context.fc2.qweight),
+        ) if getattr(blocks.ff.fc1, "precision", None) == "int8" else None
+
         def body(carry, layer):
-            block, c, m = layer
-            im, tx = block(*carry, temb, rot, mods=m)
+            block, c, m, i = layer
+            ffs = None
+            if stk is not None:
+                ffs = ((*stk[0], i), (*stk[1], i))
+            im, tx = block(*carry, temb, rot, mods=m, ff_stacked=ffs)
             if c is not None:
                 im = im + c.astype(im.dtype)
             return (im, tx), None
 
         (img, txt), _ = jax.lax.scan(
-            body, (img, txt), (blocks, ctrl, mods),
+            body, (img, txt), (blocks, ctrl, mods, jnp.arange(n, dtype=jnp.int32)),
             unroll=getattr(self, "_scan_unroll", 1),
         )
         return img, txt
@@ -440,15 +456,23 @@ class FluxTransformer2DModel(Module):
                 self.single_transformer_blocks.norm.linear, temb
             )[start:stop]
 
+        n = blocks.mlp_fc1.qweight.shape[0]
+        stk = (
+            (blocks.mlp_fc1.qweight, blocks.mlp_fc2.qweight)
+            if getattr(blocks.mlp_fc1, "precision", None) == "int8" else None
+        )
+
         def body(carry, layer):
-            block, c, m = layer
-            h = block(carry, temb, rot, mod=m)
+            block, c, m, i = layer
+            mlps = (*stk, i) if stk is not None else None
+            h = block(carry, temb, rot, mod=m, mlp_stacked=mlps)
             if c is not None:
                 h = h.at[:, s_txt:].add(c.astype(h.dtype))
             return h, None
 
         x, _ = jax.lax.scan(
-            body, x, (blocks, ctrl, mods), unroll=getattr(self, "_scan_unroll", 1)
+            body, x, (blocks, ctrl, mods, jnp.arange(n, dtype=jnp.int32)),
+            unroll=getattr(self, "_scan_unroll", 1),
         )
         return x
 

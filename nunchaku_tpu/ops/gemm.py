@@ -228,7 +228,10 @@ def _gemm_w4a8_kernel(*refs, group, has_lora, has_bias, out_dtype):
         out_ref[...] = out.astype(out_dtype)
 
 
-def _gemm_w8a8_kernel(*refs, has_lora, has_bias, out_dtype, grouped_as=False):
+def _gemm_w8a8_kernel(*refs, has_lora, has_bias, out_dtype, grouped_as=False,
+                      stacked_w=False):
+    if stacked_w:  # scalar-prefetch mode: refs[0] is the layer-index ref
+        refs = refs[1:]
     qa_ref, as_ref, qw_ref, ws_ref, la_ref, pu_ref, b_ref, out_ref, acc_ref = (
         _split_refs(refs, has_lora, has_bias)
     )
@@ -240,7 +243,8 @@ def _gemm_w8a8_kernel(*refs, has_lora, has_bias, out_dtype, grouped_as=False):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     d = jax.lax.dot_general(
-        qa_ref[...], qw_ref[...], (((1,), (0,)), ((), ())),
+        qa_ref[...], qw_ref[0] if stacked_w else qw_ref[...],
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     if grouped_as:
@@ -287,7 +291,7 @@ def _tanh_gelu_bf16(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _gemm_w8a8_gelu_quant_kernel(
-    *refs, has_lora, has_bias, act_unsigned_next, gelu_shift
+    *refs, has_lora, has_bias, act_unsigned_next, gelu_shift, stacked_w=False
 ):
     """int8 GEMM whose epilogue emits the NEXT layer's quantized activations.
 
@@ -304,6 +308,8 @@ def _gemm_w8a8_gelu_quant_kernel(
     Outputs: qout (M, N) int8; qscales (nj, M) f32; lora_part (nj, M, R) f32
     (summed over nj by the caller — keeps the j grid axis parallel).
     """
+    if stacked_w:  # scalar-prefetch mode: refs[0] is the layer-index ref
+        refs = refs[1:]
     qa_ref, as_ref, qw_ref, ws_ref = refs[:4]
     mid = refs[4:-4]
     la_ref = pu_ref = b_ref = None
@@ -321,8 +327,9 @@ def _gemm_w8a8_gelu_quant_kernel(
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    qw = qw_ref[0] if stacked_w else qw_ref[...]
     d = jax.lax.dot_general(
-        qa_ref[...], qw_ref[...], (((1,), (0,)), ((), ())),
+        qa_ref[...], qw, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     acc_ref[...] += d.astype(jnp.float32)
@@ -355,6 +362,68 @@ def _gemm_w8a8_gelu_quant_kernel(
         rcp = jnp.where(scale == 0, 0.0, 1.0 / jnp.where(scale == 0, 1.0, scale))
         qout_ref[...] = jnp.clip(jnp.round(h * rcp), -127, 127).astype(jnp.int8)
         qs_ref[...] = scale.reshape(1, 1, bm)
+
+
+def _gemm_w8a8_gelu_quant_pipe_kernel(
+    *refs, has_lora, has_bias, act_unsigned_next, gelu_shift, nj,
+):
+    """Software-pipelined variant of the GELU_QUANT chain (requires nk == 1).
+
+    The j (N-tile) grid axis runs one step long: cell j issues tile j's
+    int8 MXU dot into acc[j % 2] and, in the same body, runs tile j-1's
+    VPU epilogue (gelu + requantize + lora_down) out of acc[(j-1) % 2].
+    The two halves have no data dependence, so Mosaic's VLIW scheduler can
+    overlap the MXU contraction with the previous tile's VPU work — the
+    serialized dot->epilogue structure of the plain kernel leaves the MXU
+    idle for the whole epilogue (~27% of runtime at FLUX shapes).
+    N-indexed epilogue operands (wscales/bias/proj_up/rsmooth/proj_down)
+    arrive lagged via their index_maps; output windows use the same lagged
+    map, so the j=0 cell's garbage epilogue write is overwritten at j=1
+    before the block ever flushes to HBM.
+    """
+    qa_ref, as_ref, qw_ref, ws_ref = refs[:4]
+    mid = refs[4:-4]
+    la_ref = pu_ref = b_ref = None
+    if has_lora:
+        la_ref, pu_ref, mid = mid[0], mid[1], mid[2:]
+    if has_bias:
+        b_ref, mid = mid[0], mid[1:]
+    rsm_ref, pd_ref = mid
+    qout_ref, qs_ref, lp_ref, acc_ref = refs[-4:]
+
+    j = pl.program_id(1)
+    par = jax.lax.rem(j, 2)
+
+    @pl.when(j < nj)
+    def _dot():
+        d = jax.lax.dot_general(
+            qa_ref[...], qw_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc_ref[par] = d.astype(jnp.float32)
+
+    bm = acc_ref.shape[1]
+    out = acc_ref[1 - par] * as_ref[...].reshape(bm, 1) * ws_ref[...].astype(jnp.float32)
+    if has_lora:
+        out = out + jnp.dot(
+            la_ref[...].astype(jnp.bfloat16),
+            pu_ref[...],
+            preferred_element_type=jnp.float32,
+        )
+    if has_bias:
+        out = out + b_ref[...].astype(jnp.float32)
+    g = _tanh_gelu(out)
+    lp_ref[0] = jnp.dot(
+        g.astype(jnp.bfloat16), pd_ref[...], preferred_element_type=jnp.float32
+    )
+    if act_unsigned_next:
+        g = g + gelu_shift
+    h = g * rsm_ref[...].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)  # (bm, 1)
+    scale = absmax / 127.0
+    rcp = jnp.where(scale == 0, 0.0, 1.0 / jnp.where(scale == 0, 1.0, scale))
+    qout_ref[...] = jnp.clip(jnp.round(h * rcp), -127, 127).astype(jnp.int8)
+    qs_ref[...] = scale.reshape(1, 1, bm)
 
 
 # Per-(K, N) tuned-tile table: standalone sweeps ranked other tiles ahead,
@@ -401,7 +470,10 @@ def _gemm_w8a8_xla(qact, ascales, qweight, wscales, lora_act, proj_up, bias,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("act_unsigned_next", "gelu_shift", "bm", "bn", "bk", "interpret"),
+    static_argnames=(
+        "act_unsigned_next", "gelu_shift", "bm", "bn", "bk", "pipelined",
+        "interpret",
+    ),
 )
 def svdq_gemm_w8a8_gelu_quant(
     qact: jnp.ndarray,
@@ -419,6 +491,8 @@ def svdq_gemm_w8a8_gelu_quant(
     bm: int | None = None,
     bn: int | None = None,
     bk: int | None = None,
+    pipelined: bool | None = None,
+    layer_idx: jnp.ndarray | None = None,
     interpret: bool | None = None,
 ):
     """int8 GEMM + fused GELU->requantize chain (reference GELU_QUANT,
@@ -429,11 +503,19 @@ def svdq_gemm_w8a8_gelu_quant(
     Returns (qout (M, N) int8, qscales (N/bn, M) f32, lora_next (M, R) f32).
     Feed all three to the consumer: grouped qscales are consumed by the
     int8 GEMM's grouped-as path (consumer bk must equal this bn).
+
+    ``layer_idx``: scalar int32 + stacked (L, K, N) ``qweight`` — the
+    kernel reads layer ``layer_idx``'s weight tile directly from the
+    stacked array via scalar prefetch. Inside a ``lax.scan`` over layers
+    this avoids the 37.7 MB dynamic-slice copy XLA otherwise materializes
+    per block for a Pallas operand (measured ~10 ms/step at FLUX 1024px;
+    XLA dots fuse the slice, custom calls cannot).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     m, k = qact.shape
-    n = qweight.shape[1]
+    stacked = layer_idx is not None
+    n = qweight.shape[2] if stacked else qweight.shape[1]
     if bm is None:
         # epilogue holds acc + qout + gelu temps in VMEM: bm 512 is the cap
         bm = _pick_dim(m, (512, 256, 128))
@@ -451,25 +533,46 @@ def svdq_gemm_w8a8_gelu_quant(
     has_lora = lora_act is not None
     has_bias = bias is not None
 
+    # Default OFF: measured in-model at FLUX 1024px (tools/ablate_fused.py
+    # fused): 363.3 ms/step with the conditional dot, 366.6 with an
+    # unconditional dot, vs 359.4 plain — Mosaic does not co-issue the MXU
+    # contraction with the lagged VPU epilogue, so the extra grid cell and
+    # double-buffered accumulator are pure overhead. Kept opt-in for
+    # hardware where the VLIW scheduler does overlap them.
+    if pipelined is None:
+        pipelined = False
+    if pipelined and k == bk and not stacked:
+        return _gelu_quant_pipelined(
+            qact, ascales, qweight, wscales, lora_act, proj_up, bias,
+            rsmooth_next, proj_down_next,
+            act_unsigned_next=act_unsigned_next, gelu_shift=gelu_shift,
+            bm=bm, bn=bn, interpret=interpret,
+        )
+
+    qw_spec = (
+        pl.BlockSpec((1, bk, bn), lambda i, j, kk, L: (L[0], kk, j), memory_space=pltpu.VMEM)
+        if stacked
+        else pl.BlockSpec((bk, bn), lambda i, j, kk, *_: (kk, j), memory_space=pltpu.VMEM)
+    )
     in_specs = [
-        pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bm), lambda i, j, kk: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, bk), lambda i, j, kk, *_: (i, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm), lambda i, j, kk, *_: (0, i), memory_space=pltpu.VMEM),
+        qw_spec,
+        pl.BlockSpec((1, bn), lambda i, j, kk, *_: (0, j), memory_space=pltpu.VMEM),
     ]
     inputs = [qact, ascales.astype(jnp.float32), qweight, wscales.astype(jnp.float32)]
     if has_lora:
         in_specs += [
-            pl.BlockSpec((bm, lora_act.shape[1]), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((lora_act.shape[1], bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, lora_act.shape[1]), lambda i, j, kk, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lora_act.shape[1], bn), lambda i, j, kk, *_: (0, j), memory_space=pltpu.VMEM),
         ]
         inputs += [lora_act, proj_up.astype(jnp.bfloat16)]
     if has_bias:
-        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, kk, *_: (0, j), memory_space=pltpu.VMEM))
         inputs.append(bias.reshape(1, n))
     in_specs += [
-        pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bn, r), lambda i, j, kk: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j, kk, *_: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, r), lambda i, j, kk, *_: (j, 0), memory_space=pltpu.VMEM),
     ]
     inputs += [
         rsmooth_next.reshape(1, n).astype(jnp.float32),
@@ -480,27 +583,133 @@ def svdq_gemm_w8a8_gelu_quant(
         _gemm_w8a8_gelu_quant_kernel,
         has_lora=has_lora, has_bias=has_bias,
         act_unsigned_next=act_unsigned_next, gelu_shift=gelu_shift,
+        stacked_w=stacked,
+    )
+    grid = (m // bm, nj, k // bk)
+    out_specs = [
+        pl.BlockSpec((bm, bn), lambda i, j, kk, *_: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bm), lambda i, j, kk, *_: (j, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm, r), lambda i, j, kk, *_: (j, i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((m, n), jnp.int8),
+        jax.ShapeDtypeStruct((nj, 1, m), jnp.float32),
+        jax.ShapeDtypeStruct((nj, m, r), jnp.float32),
+    ]
+    scratch_shapes = [pltpu.VMEM((bm, bn), jnp.float32)]
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+        # the epilogue's f32 gelu/quantize temps exceed the default
+        # 16 MiB scoped budget at larger tiles; v5e VMEM is 128 MiB
+        vmem_limit_bytes=64 * 1024 * 1024,
+    )
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k + 2 * m * n * r,
+        bytes_accessed=qact.nbytes + qweight.nbytes // (qweight.shape[0] if stacked else 1) + m * n,
+        transcendentals=m * n,
+    )
+    if stacked:
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )
+        qout, qs3, lp = call(layer_idx.reshape(1).astype(jnp.int32), *inputs)
+    else:
+        qout, qs3, lp = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*inputs)
+    return qout, qs3.reshape(nj, m), lp.sum(axis=0)
+
+
+def _gelu_quant_pipelined(
+    qact, ascales, qweight, wscales, lora_act, proj_up, bias,
+    rsmooth_next, proj_down_next, *,
+    act_unsigned_next, gelu_shift, bm, bn, interpret,
+):
+    """Launch wrapper for the software-pipelined GELU_QUANT chain: the j
+    axis runs nj+1 cells, epilogue operands and output windows lag one
+    N-tile behind the dot (see _gemm_w8a8_gelu_quant_pipe_kernel)."""
+    m, k = qact.shape
+    n = qweight.shape[1]
+    nj = n // bn
+    r = proj_down_next.shape[1]
+    has_lora = lora_act is not None
+    has_bias = bias is not None
+
+    def cur(jj):  # dot-side N index (tile j, clamped at the flush cell)
+        return jnp.minimum(jj, nj - 1)
+
+    def prev(jj):  # epilogue-side N index (tile j-1, clamped at j=0)
+        return jnp.maximum(jj - 1, 0)
+
+    in_specs = [
+        pl.BlockSpec((bm, k), lambda i, jj: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm), lambda i, jj: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, bn), lambda i, jj: (0, cur(jj)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, jj: (0, prev(jj)), memory_space=pltpu.VMEM),
+    ]
+    inputs = [qact, ascales.astype(jnp.float32), qweight, wscales.astype(jnp.float32)]
+    if has_lora:
+        in_specs += [
+            pl.BlockSpec((bm, lora_act.shape[1]), lambda i, jj: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lora_act.shape[1], bn), lambda i, jj: (0, prev(jj)), memory_space=pltpu.VMEM),
+        ]
+        inputs += [lora_act, proj_up.astype(jnp.bfloat16)]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((1, bn), lambda i, jj: (0, prev(jj)), memory_space=pltpu.VMEM)
+        )
+        inputs.append(bias.reshape(1, n))
+    in_specs += [
+        pl.BlockSpec((1, bn), lambda i, jj: (0, prev(jj)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, r), lambda i, jj: (prev(jj), 0), memory_space=pltpu.VMEM),
+    ]
+    inputs += [
+        rsmooth_next.reshape(1, n).astype(jnp.float32),
+        proj_down_next.astype(jnp.bfloat16),
+    ]
+
+    kernel = functools.partial(
+        _gemm_w8a8_gelu_quant_pipe_kernel,
+        has_lora=has_lora, has_bias=has_bias,
+        act_unsigned_next=act_unsigned_next, gelu_shift=gelu_shift, nj=nj,
     )
     qout, qs3, lp = pl.pallas_call(
         kernel,
-        grid=(m // bm, nj, k // bk),
+        grid=(m // bm, nj + 1),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bm), lambda i, j, kk: (j, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bm, r), lambda i, j, kk: (j, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bn), lambda i, jj: (i, prev(jj)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bm), lambda i, jj: (prev(jj), 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm, r), lambda i, jj: (prev(jj), i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((m, n), jnp.int8),
             jax.ShapeDtypeStruct((nj, 1, m), jnp.float32),
             jax.ShapeDtypeStruct((nj, m, r), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            # the epilogue's f32 gelu/quantize temps exceed the default
-            # 16 MiB scoped budget at larger tiles; v5e VMEM is 128 MiB
-            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k + 2 * m * n * r,
@@ -547,6 +756,7 @@ def svdq_gemm_w4a4(
     bm: int | None = None,
     bn: int | None = None,
     bk: int | None = None,
+    layer_idx: jnp.ndarray | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Quantized GEMM: ``dequant(qact) @ dequant(qweight) + lora + bias``.
@@ -570,9 +780,12 @@ def svdq_gemm_w4a4(
         interpret = jax.default_backend() == "cpu"  # tests run interpreted
     is_int8 = precision == "int8"
     is_w4a8 = precision == "w4a8"
+    stacked = layer_idx is not None
+    if stacked and precision != "int8":
+        raise NotImplementedError("stacked-weight mode is int8-only")
     m = qact.shape[0]
     k = qact.shape[1] * (1 if (is_int8 or is_w4a8) else 2)
-    n = qweight.shape[1]
+    n = qweight.shape[2] if stacked else qweight.shape[1]
     if is_int8 or is_w4a8:
         group = GROUP_INT4 if is_w4a8 else k
     else:
@@ -594,7 +807,8 @@ def svdq_gemm_w4a4(
             raise ValueError(f"K={k} not divisible by {ascales.shape[0]} scale groups")
         bk = k // ascales.shape[0]
 
-    if (is_int8 and not grouped_as and bm is None and bn is None and bk is None
+    if (is_int8 and not grouped_as and not stacked
+            and bm is None and bn is None and bk is None
             and _int8_use_xla(m, k, n)):
         return _gemm_w8a8_xla(
             qact, ascales, qweight, wscales, lora_act, proj_up, bias, out_dtype
@@ -630,19 +844,24 @@ def svdq_gemm_w4a4(
         # grouped scales carry a singleton mid-axis so the (1, 1, bm) block
         # satisfies Pallas' last-two-dims tiling constraint
         as_spec = (
-            pl.BlockSpec((1, 1, bm), lambda i, j, kk: (kk, 0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, bm), lambda i, j, kk, *_: (kk, 0, i), memory_space=pltpu.VMEM)
             if grouped_as
-            else pl.BlockSpec((1, bm), lambda i, j, kk: (0, i), memory_space=pltpu.VMEM)
+            else pl.BlockSpec((1, bm), lambda i, j, kk, *_: (0, i), memory_space=pltpu.VMEM)
+        )
+        qw_spec = (
+            pl.BlockSpec((1, bk, bn), lambda i, j, kk, L: (L[0], kk, j), memory_space=pltpu.VMEM)
+            if stacked
+            else pl.BlockSpec((bk, bn), lambda i, j, kk, *_: (kk, j), memory_space=pltpu.VMEM)
         )
         in_specs = [
-            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, kk, *_: (i, kk), memory_space=pltpu.VMEM),
             as_spec,
-            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+            qw_spec,
+            pl.BlockSpec((1, bn), lambda i, j, kk, *_: (0, j), memory_space=pltpu.VMEM),
         ]
         kernel = functools.partial(
             _gemm_w8a8_kernel, has_lora=has_lora, has_bias=has_bias,
-            out_dtype=out_dtype, grouped_as=grouped_as,
+            out_dtype=out_dtype, grouped_as=grouped_as, stacked_w=stacked,
         )
         asc = ascales.astype(jnp.float32)
         if grouped_as:
@@ -689,33 +908,54 @@ def svdq_gemm_w4a4(
     if has_lora:
         r = lora_act.shape[1]
         in_specs += [
-            pl.BlockSpec((bm, r), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, r), lambda i, j, kk, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, bn), lambda i, j, kk, *_: (0, j), memory_space=pltpu.VMEM),
         ]
         inputs += [lora_act, proj_up.astype(jnp.bfloat16)]
     if has_bias:
         in_specs.append(
-            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, bn), lambda i, j, kk, *_: (0, j), memory_space=pltpu.VMEM)
         )
         inputs.append(bias.reshape(1, n))
 
     flops = 2 * m * n * k + (2 * m * n * (lora_act.shape[1] if has_lora else 0))
+    out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk, *_: (i, j), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((m, n), out_dtype)
+    scratch_shapes = [pltpu.VMEM((bm, bn), jnp.float32)]
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+        # allow deep-K tiles (explicit bk overrides); v5e VMEM is 128 MiB
+        vmem_limit_bytes=64 * 1024 * 1024,
+    )
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=qact.nbytes
+        + qweight.nbytes // (qweight.shape[0] if stacked else 1) + m * n * 2,
+        transcendentals=0,
+    )
+    if stacked:
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_spec,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(layer_idx.reshape(1).astype(jnp.int32), *inputs)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            # allow deep-K tiles (explicit bk overrides); v5e VMEM is 128 MiB
-            vmem_limit_bytes=64 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=qact.nbytes + qweight.nbytes + m * n * 2,
-            transcendentals=0,
-        ),
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        compiler_params=compiler_params,
+        cost_estimate=cost,
         interpret=interpret,
     )(*inputs)

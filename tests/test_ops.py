@@ -422,3 +422,75 @@ class TestQkvRopeProducerShared:
                 qkv, cos, cos, jnp.ones((64,)), jnp.ones((64,)),
                 heads=2, head_dim=64, bm=128, out_s=384, s_offset=128,
             )
+
+
+def test_gelu_quant_chain_pipelined_matches_plain():
+    """The software-pipelined chain kernel (lagged epilogue, nj+1 grid)
+    must produce bit-identical outputs to the plain dot->epilogue kernel."""
+    from nunchaku_tpu.ops.gemm import svdq_gemm_w8a8_gelu_quant
+
+    rng_ = np.random.default_rng(11)
+    m, k, n, r = 256, 512, 1024, 32
+    qa = jnp.asarray(rng_.integers(-127, 128, (m, k)), jnp.int8)
+    asc = jnp.asarray(rng_.random((1, m)) * 0.01 + 0.001, jnp.float32)
+    qw = jnp.asarray(rng_.integers(-127, 128, (k, n)), jnp.int8)
+    ws = jnp.asarray(rng_.random((1, n)) * 0.01 + 0.001, jnp.float32)
+    la = jnp.asarray(rng_.standard_normal((m, r)) * 0.1, jnp.float32)
+    pu = jnp.asarray(rng_.standard_normal((r, n)) * 0.1, jnp.bfloat16)
+    b = jnp.asarray(rng_.standard_normal((n,)) * 0.1, jnp.float32)
+    rsm = jnp.asarray(rng_.random((n,)) + 0.5, jnp.float32)
+    pd = jnp.asarray(rng_.standard_normal((n, r)) * 0.1, jnp.bfloat16)
+
+    kw = dict(act_unsigned_next=True, bm=128, bn=256)
+    plain = svdq_gemm_w8a8_gelu_quant(
+        qa, asc, qw, ws, la, pu, b, rsm, pd, pipelined=False, **kw
+    )
+    pipe = svdq_gemm_w8a8_gelu_quant(
+        qa, asc, qw, ws, la, pu, b, rsm, pd, pipelined=True, **kw
+    )
+    for p, q_ in zip(plain, pipe):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(q_))
+
+
+class TestStackedWeightPrefetch:
+    """Scalar-prefetch stacked-weight mode: kernels read layer l's weight
+    tile straight from an (L, K, N) stack — must equal slicing first."""
+
+    def test_chain_producer_stacked(self):
+        from nunchaku_tpu.ops.gemm import svdq_gemm_w8a8_gelu_quant
+
+        rng_ = np.random.default_rng(3)
+        L, m, k, n, r = 3, 128, 256, 512, 32
+        qa = jnp.asarray(rng_.integers(-127, 128, (m, k)), jnp.int8)
+        asc = jnp.asarray(rng_.random((1, m)) * 0.01 + 0.001, jnp.float32)
+        qws = jnp.asarray(rng_.integers(-127, 128, (L, k, n)), jnp.int8)
+        ws = jnp.asarray(rng_.random((1, n)) * 0.01 + 0.001, jnp.float32)
+        rsm = jnp.asarray(rng_.random((n,)) + 0.5, jnp.float32)
+        pd = jnp.asarray(rng_.standard_normal((n, r)) * 0.1, jnp.bfloat16)
+        kw = dict(bm=128, bn=256)
+        for i in range(L):
+            ref = svdq_gemm_w8a8_gelu_quant(
+                qa, asc, qws[i], ws, None, None, None, rsm, pd, **kw
+            )
+            got = svdq_gemm_w8a8_gelu_quant(
+                qa, asc, qws, ws, None, None, None, rsm, pd,
+                layer_idx=jnp.int32(i), **kw
+            )
+            for a, b in zip(ref, got):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_consumer_grouped_stacked(self):
+        from nunchaku_tpu.ops.gemm import svdq_gemm_w4a4
+
+        rng_ = np.random.default_rng(4)
+        L, m, k, n = 3, 128, 512, 256
+        qa = jnp.asarray(rng_.integers(-127, 128, (m, k)), jnp.int8)
+        asc = jnp.asarray(rng_.random((2, m)) * 0.01 + 0.001, jnp.float32)  # 2 groups
+        qws = jnp.asarray(rng_.integers(-127, 128, (L, k, n)), jnp.int8)
+        ws = jnp.asarray(rng_.random((1, n)) * 0.01 + 0.001, jnp.float32)
+        for i in range(L):
+            ref = svdq_gemm_w4a4(qa, asc, qws[i], ws, precision="int8")
+            got = svdq_gemm_w4a4(
+                qa, asc, qws, ws, precision="int8", layer_idx=jnp.int32(i)
+            )
+            np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

@@ -63,7 +63,7 @@ if mode.startswith("chain-t"):
 
     A.svdq_gemm_w8a8_gelu_quant = forced
 
-if mode == "poly-gelu":
+if mode.endswith("poly-gelu"):
     # Pade(7,6) continued-fraction tanh, clamped at |u|=4.97 where the
     # rational crosses 1; max |gelu err| 1.8e-4 (invisible under int8
     # quantization). Replaces the transcendental in the chain epilogue.
@@ -80,7 +80,7 @@ if mode == "poly-gelu":
 
     G._tanh_gelu = _poly_tanh_gelu
 
-if mode == "exp2-gelu":
+if mode.endswith("exp2-gelu"):
     # exact tanh via the exp2 identity: tanh(u) = 1 - 2/(1 + exp2(2u*log2e));
     # one hardware exp2 + one reciprocal instead of the tanh expansion
     LOG2E = 1.4426950408889634
