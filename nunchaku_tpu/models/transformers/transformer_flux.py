@@ -30,7 +30,7 @@ from ...utils.debug_taps import tap
 from ...ops.attention import rope_table_halfsplit
 from ..attention import FeedForward, FluxAttention, gelu_mlp, permute_qk_halfsplit
 from ..embeddings import CombinedTimestepEmbeddings, rope_table
-from ..linear import DualStreamLinear, Linear, SVDQW4A4Linear
+from ..linear import DualStreamLinear, Linear, SVDQW4A4Linear, attach_stacked_weights
 from ..normalization import (
     AdaLayerNormContinuous,
     AdaLayerNormZero,
@@ -416,17 +416,23 @@ class FluxTransformer2DModel(Module):
         # so XLA never materializes the per-block weight-slice copies
         # (int8 chain only; other precisions use the scan-sliced weights
         # and the stack reference is dead code XLA removes).
-        n = blocks.ff.fc1.qweight.shape[0]
+        n = stop - start
         stk = (
             (blocks.ff.fc1.qweight, blocks.ff.fc2.qweight),
             (blocks.ff_context.fc1.qweight, blocks.ff_context.fc2.qweight),
         ) if getattr(blocks.ff.fc1, "precision", None) == "int8" else None
+
+        pallas_w = getattr(blocks.ff.fc1, "precision", None) in (
+            "w4a8", "int4", "nvfp4"
+        )
 
         def body(carry, layer):
             block, c, m, i = layer
             ffs = None
             if stk is not None:
                 ffs = ((*stk[0], i), (*stk[1], i))
+            if pallas_w:
+                block = attach_stacked_weights(block, blocks, i)
             im, tx = block(*carry, temb, rot, mods=m, ff_stacked=ffs)
             if c is not None:
                 im = im + c.astype(im.dtype)
@@ -456,15 +462,21 @@ class FluxTransformer2DModel(Module):
                 self.single_transformer_blocks.norm.linear, temb
             )[start:stop]
 
-        n = blocks.mlp_fc1.qweight.shape[0]
+        n = stop - start
         stk = (
             (blocks.mlp_fc1.qweight, blocks.mlp_fc2.qweight)
             if getattr(blocks.mlp_fc1, "precision", None) == "int8" else None
         )
 
+        pallas_w = getattr(blocks.mlp_fc1, "precision", None) in (
+            "w4a8", "int4", "nvfp4"
+        )
+
         def body(carry, layer):
             block, c, m, i = layer
             mlps = (*stk, i) if stk is not None else None
+            if pallas_w:
+                block = attach_stacked_weights(block, blocks, i)
             h = block(carry, temb, rot, mod=m, mlp_stacked=mlps)
             if c is not None:
                 h = h.at[:, s_txt:].add(c.astype(h.dtype))

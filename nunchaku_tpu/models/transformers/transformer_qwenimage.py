@@ -25,6 +25,7 @@ from ...core.module import Module
 from ..embeddings import CombinedTimestepEmbeddings, MLPEmbedder, rope_table
 from ..linear import Linear
 from ..normalization import AdaLayerNormContinuous
+from ..linear import attach_stacked_weights
 from .transformer_flux import FluxConfig, FluxTransformerBlock, stack_modules
 
 
@@ -148,10 +149,31 @@ class QwenImageTransformer2DModel(Module):
 
             rot = rope_table_halfsplit(rot)
 
-        def body(carry, block):
-            im, tx = block(*carry, temb, rot)
+        # stacked-weight prefetch (see FluxTransformer2DModel.run_dual):
+        # int8 threads the fc1/fc2 chain stacks; 4-bit modes attach every
+        # Pallas linear's stack so no per-block weight-slice copy runs
+        blocks = self.blocks
+        stk = (
+            (blocks.ff.fc1.qweight, blocks.ff.fc2.qweight),
+            (blocks.ff_context.fc1.qweight, blocks.ff_context.fc2.qweight),
+        ) if getattr(blocks.ff.fc1, "precision", None) == "int8" else None
+        pallas_w = getattr(blocks.ff.fc1, "precision", None) in (
+            "w4a8", "int4", "nvfp4"
+        )
+
+        def body(carry, layer):
+            block, i = layer
+            ffs = None
+            if stk is not None:
+                ffs = ((*stk[0], i), (*stk[1], i))
+            if pallas_w:
+                block = attach_stacked_weights(block, blocks, i)
+            im, tx = block(*carry, temb, rot, ff_stacked=ffs)
             return (im, tx), None
 
-        (img, txt), _ = jax.lax.scan(body, (img, txt), self.blocks)
+        n_layers = self.cfg.num_layers
+        (img, txt), _ = jax.lax.scan(
+            body, (img, txt), (blocks, jnp.arange(n_layers, dtype=jnp.int32))
+        )
         out = self.norm_out(img.astype(jnp.bfloat16), temb)
         return self.proj_out(out).astype(jnp.bfloat16)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ...core.module import Module
 from ...ops.attention import flash_attention
 from ..embeddings import timestep_embedding, MLPEmbedder
-from ..linear import Linear, SVDQW4A4Linear
+from ..linear import Linear, SVDQW4A4Linear, attach_stacked_weights
 from ..normalization import layer_norm
 from .transformer_flux import stack_modules
 
@@ -298,10 +298,17 @@ class SanaTransformer2DModel(Module):
         stop = self.cfg.num_layers if stop is None else stop
         blocks = jax.tree.map(lambda a: a[start:stop], self.blocks)
 
-        def body(carry, block):
+        probe = blocks.attn.qkv_proj if hasattr(blocks, "attn") else None
+        pallas_w = getattr(probe, "precision", None) in ("w4a8", "int4", "nvfp4")
+        n = stop - start
+
+        def body(carry, layer):
+            block, i = layer
+            if pallas_w:
+                block = attach_stacked_weights(block, blocks, i)
             return block(carry, cond, temb6, (side, side), cond_mask, pag), None
 
-        x, _ = jax.lax.scan(body, x, blocks)
+        x, _ = jax.lax.scan(body, x, (blocks, jnp.arange(n, dtype=jnp.int32)))
         return x
 
     def head(self, x, temb):

@@ -36,7 +36,7 @@ from ..attention import qkv_norm_rope
 from ...ops.attention import LOG2E, flash_attention, qkv_rope_producer
 from ...ops.quantize import quantize_w4a4_act_fuse_lora
 from ..embeddings import rope_table, timestep_embedding
-from ..linear import Linear, SVDQW4A4Linear, pad_rows
+from ..linear import Linear, SVDQW4A4Linear, pad_rows, attach_stacked_weights
 from ..normalization import layer_norm
 from ...ops.reference import rmsnorm
 from .transformer_flux import slice_module, stack_modules
@@ -294,10 +294,20 @@ class ZImageTransformer2DModel(Module):
         return self
 
     def _scan(self, stacked, x, temb, rot):
-        def body(carry, block):
+        # 4-bit modes: attach stacked qweights + layer index so the Pallas
+        # GEMMs read weight tiles via scalar prefetch (models/linear.py
+        # attach_stacked_weights; int8 runs XLA dots, which fuse the slice)
+        probe = stacked.attention.to_qkv
+        pallas_w = getattr(probe, "precision", None) in ("w4a8", "int4", "nvfp4")
+        n = jax.tree.leaves(stacked)[0].shape[0]
+
+        def body(carry, layer):
+            block, i = layer
+            if pallas_w:
+                block = attach_stacked_weights(block, stacked, i)
             return block(carry, temb, rot), None
 
-        x, _ = jax.lax.scan(body, x, stacked)
+        x, _ = jax.lax.scan(body, x, (stacked, jnp.arange(n, dtype=jnp.int32)))
         return x
 
     def __call__(self, hidden_states, encoder_hidden_states, timestep,

@@ -123,8 +123,11 @@ def _split_refs(refs, has_lora, has_bias):
 
 
 def _gemm_w4a4_kernel(
-    *refs, precision, act_unsigned, group, has_lora, has_bias, out_dtype
+    *refs, precision, act_unsigned, group, has_lora, has_bias, out_dtype,
+    stacked_w=False,
 ):
+    if stacked_w:  # scalar-prefetch mode: refs[0] is the layer-index ref
+        refs = refs[1:]
     qa_ref, as_ref, qw_ref, ws_ref, la_ref, pu_ref, b_ref, out_ref, acc_ref = (
         _split_refs(refs, has_lora, has_bias)
     )
@@ -146,7 +149,7 @@ def _gemm_w4a4_kernel(
         acc_ref[...] = init
 
     ap = qa_ref[...].astype(jnp.int32)  # (bm, bk/2)
-    wp = qw_ref[...].astype(jnp.int32)  # (bk/2, bn)
+    wp = (qw_ref[0] if stacked_w else qw_ref[...]).astype(jnp.int32)  # (bk/2, bn)
     bm, half = ap.shape
     bk = half * 2
     a_lo, a_hi = _plane_values(ap, act_unsigned, precision)
@@ -161,7 +164,8 @@ def _gemm_w4a4_kernel(
         out_ref[...] = acc_ref[...].astype(out_dtype)
 
 
-def _gemm_w4a8_kernel(*refs, group, has_lora, has_bias, out_dtype):
+def _gemm_w4a8_kernel(*refs, group, has_lora, has_bias, out_dtype,
+                      stacked_w=False):
     """Hybrid: int4-packed weights in HBM, int8 MXU compute.
 
     The packed nibbles are rescaled in VMEM from per-64-group int4 scales
@@ -171,6 +175,8 @@ def _gemm_w4a8_kernel(*refs, group, has_lora, has_bias, out_dtype):
     4-bit weight memory. Numerically identical to requantizing the weights
     to int8 at load (the ``precision="int8"`` mode).
     """
+    if stacked_w:  # scalar-prefetch mode: refs[0] is the layer-index ref
+        refs = refs[1:]
     qa_ref, as_ref = refs[0], refs[1]
     qw_ref, rs_ref, ws_ref = refs[2], refs[3], refs[4]
     out_ref, acc_ref = refs[-2], refs[-1]
@@ -188,7 +194,7 @@ def _gemm_w4a8_kernel(*refs, group, has_lora, has_bias, out_dtype):
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    wp = qw_ref[...].astype(jnp.int32)  # (bk/2, bn)
+    wp = (qw_ref[0] if stacked_w else qw_ref[...]).astype(jnp.int32)  # (bk/2, bn)
     half, bn = wp.shape
     bk = half * 2
     lo = (wp << 28) >> 28
@@ -781,8 +787,6 @@ def svdq_gemm_w4a4(
     is_int8 = precision == "int8"
     is_w4a8 = precision == "w4a8"
     stacked = layer_idx is not None
-    if stacked and precision != "int8":
-        raise NotImplementedError("stacked-weight mode is int8-only")
     m = qact.shape[0]
     k = qact.shape[1] * (1 if (is_int8 or is_w4a8) else 2)
     n = qweight.shape[2] if stacked else qweight.shape[1]
@@ -868,30 +872,41 @@ def svdq_gemm_w4a4(
             asc = asc.reshape(asc.shape[0], 1, asc.shape[1])
         inputs = [qact, asc, qweight, wscales.astype(jnp.float32)]
     elif is_w4a8:
+        qw_spec = (
+            pl.BlockSpec((1, bk // 2, bn), lambda i, j, kk, L: (L[0], kk, j), memory_space=pltpu.VMEM)
+            if stacked
+            else pl.BlockSpec((bk // 2, bn), lambda i, j, kk, *_: (kk, j), memory_space=pltpu.VMEM)
+        )
         in_specs = [
-            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bm), lambda i, j, kk: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, kk, *_: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda i, j, kk, *_: (0, i), memory_space=pltpu.VMEM),
+            qw_spec,
             pl.BlockSpec(
-                (bk // group, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+                (bk // group, bn), lambda i, j, kk, *_: (kk, j), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk, *_: (0, j), memory_space=pltpu.VMEM),
         ]
         kernel = functools.partial(
             _gemm_w4a8_kernel, group=group,
             has_lora=has_lora, has_bias=has_bias, out_dtype=out_dtype,
+            stacked_w=stacked,
         )
         inputs = [qact, ascales.astype(jnp.float32), qweight,
                   rescales.astype(jnp.bfloat16), wscales.astype(jnp.float32)]
     else:
+        qw_spec = (
+            pl.BlockSpec((1, bk // 2, bn), lambda i, j, kk, L: (L[0], kk, j), memory_space=pltpu.VMEM)
+            if stacked
+            else pl.BlockSpec((bk // 2, bn), lambda i, j, kk, *_: (kk, j), memory_space=pltpu.VMEM)
+        )
         in_specs = [
-            pl.BlockSpec((bm, bk // 2), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk // 2), lambda i, j, kk, *_: (i, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (bk // group, bm), lambda i, j, kk: (kk, i), memory_space=pltpu.VMEM
+                (bk // group, bm), lambda i, j, kk, *_: (kk, i), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            qw_spec,
             pl.BlockSpec(
-                (bk // group, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+                (bk // group, bn), lambda i, j, kk, *_: (kk, j), memory_space=pltpu.VMEM
             ),
         ]
         kernel = functools.partial(
@@ -902,6 +917,7 @@ def svdq_gemm_w4a4(
             has_lora=has_lora,
             has_bias=has_bias,
             out_dtype=out_dtype,
+            stacked_w=stacked,
         )
         inputs = [qact, ascales, qweight, wscales]
 

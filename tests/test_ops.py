@@ -494,3 +494,42 @@ class TestStackedWeightPrefetch:
                 qa, asc, qws, ws, precision="int8", layer_idx=jnp.int32(i)
             )
             np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    def test_w4a8_int4_stacked(self):
+        """Stacked-weight prefetch on the packed-int4 kernels (w4a8 + int4
+        paths) must equal slicing the (L, K/2, N) stack first."""
+        from nunchaku_tpu.core.packing import pack_int4
+        from nunchaku_tpu.ops.gemm import svdq_gemm_w4a4
+        from nunchaku_tpu.ops.quantize import quantize_w4a4_act_fuse_lora
+
+        rng_ = np.random.default_rng(9)
+        L, m, k, n, g = 2, 64, 512, 256, 64
+        x = jnp.asarray(rng_.standard_normal((m, k)), jnp.bfloat16)
+        pd = jnp.asarray(rng_.standard_normal((k, 32)) * 0.05, jnp.bfloat16)
+        sm = jnp.asarray(np.abs(rng_.standard_normal(k)) + 0.5, jnp.bfloat16)
+        w4 = rng_.integers(-7, 8, (L, k, n))
+        qws = jnp.stack([jnp.asarray(pack_int4(np.asarray(w4[i]), axis=0)) for i in range(L)])
+        ws = jnp.asarray(rng_.random((k // g, n)) * 0.01 + 0.001, jnp.bfloat16)
+
+        # int4 path
+        qa, asc, la = quantize_w4a4_act_fuse_lora(x, pd, sm, precision="int4")
+        for i in range(L):
+            ref = svdq_gemm_w4a4(qa, asc, qws[i], ws, precision="int4")
+            got = svdq_gemm_w4a4(
+                qa, asc, qws, ws, precision="int4", layer_idx=jnp.int32(i)
+            )
+            np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+        # w4a8 path (int8 acts + in-kernel weight rescale)
+        qa8, asc8, _ = quantize_w4a4_act_fuse_lora(x, pd, sm, precision="int8")
+        rs = jnp.asarray(rng_.random((k // g, n)) + 0.5, jnp.bfloat16)
+        ws1 = jnp.asarray(rng_.random((1, n)) * 0.01 + 0.001, jnp.float32)
+        for i in range(L):
+            ref = svdq_gemm_w4a4(
+                qa8, asc8, qws[i], ws1, rescales=rs, precision="w4a8"
+            )
+            got = svdq_gemm_w4a4(
+                qa8, asc8, qws, ws1, rescales=rs, precision="w4a8",
+                layer_idx=jnp.int32(i),
+            )
+            np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
