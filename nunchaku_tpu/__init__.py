@@ -53,6 +53,7 @@ from .pipeline.pipeline_zimage import ZImagePipeline
 from .models.transformers.transformer_flux import FluxConfig, FluxTransformer2DModel
 from .models.transformers.transformer_zimage import ZImageConfig, ZImageTransformer2DModel
 from .pipeline.pipeline_flux import FluxPipeline, apply_cache_on_pipe
+from .pipeline.pipeline_flux_pix2pix import FluxPix2pixTurboPipeline
 from .lora.flux.apply import set_lora_strength, update_lora_params
 from .lora.flux.convert import compose_lora
 
@@ -62,6 +63,7 @@ __all__ = [
     "CLIPTextModel",
     "FluxConfig",
     "FluxPipeline",
+    "FluxPix2pixTurboPipeline",
     "FluxTransformer2DModel",
     "SVDQW4A4Linear",
     "T5EncoderModel",
