@@ -122,6 +122,7 @@ class QwenImageTransformer2DModel(Module):
         timestep: jnp.ndarray,  # (B,)
         img_ids: jnp.ndarray,  # (S_img, 3)
         txt_ids: jnp.ndarray | None = None,  # (S_txt, 3); default: index rope
+        controlnet_block_samples: jnp.ndarray | None = None,  # (L, B, S_img, D)
     ) -> jnp.ndarray:
         from ..embeddings import timestep_embedding
 
@@ -161,19 +162,34 @@ class QwenImageTransformer2DModel(Module):
             "w4a8", "int4", "nvfp4"
         )
 
+        n_layers = self.cfg.num_layers
+        # ControlNet residuals spread with the ceil-interval rule the
+        # reference applies per block (transformer_qwenimage.py:546-550 —
+        # identical to the FLUX rule, so _expand_controlnet is shared)
+        from .transformer_flux import _expand_controlnet
+
+        ctrl = _expand_controlnet(controlnet_block_samples, n_layers)
+
         def body(carry, layer):
-            block, i = layer
+            block, c, i = layer
             ffs = None
             if stk is not None:
                 ffs = ((*stk[0], i), (*stk[1], i))
             if pallas_w:
                 block = attach_stacked_weights(block, blocks, i)
             im, tx = block(*carry, temb, rot, ff_stacked=ffs)
+            if c is not None:
+                if c.shape[1] != im.shape[1]:
+                    # edit-mode streams append cond tokens after the S_img
+                    # latents; residuals only target the generated rows
+                    im = im.at[:, : c.shape[1]].add(c.astype(im.dtype))
+                else:
+                    im = im + c.astype(im.dtype)
             return (im, tx), None
 
-        n_layers = self.cfg.num_layers
         (img, txt), _ = jax.lax.scan(
-            body, (img, txt), (blocks, jnp.arange(n_layers, dtype=jnp.int32))
+            body, (img, txt),
+            (blocks, ctrl, jnp.arange(n_layers, dtype=jnp.int32)),
         )
         out = self.norm_out(img.astype(jnp.bfloat16), temb)
         return self.proj_out(out).astype(jnp.bfloat16)

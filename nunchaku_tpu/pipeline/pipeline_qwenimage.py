@@ -45,11 +45,15 @@ class QwenImagePipelineOutput:
 
 
 class QwenImagePipeline:
-    def __init__(self, transformer, vae=None, text_encoder=None, tokenizer=None):
+    def __init__(self, transformer, vae=None, text_encoder=None, tokenizer=None,
+                 controlnet=None):
         self.transformer = transformer
         self.vae = vae
         self.text_encoder = text_encoder  # Qwen2.5-VL adapter
         self.tokenizer = tokenizer
+        # QwenImageControlNetModel (diffusers QwenImageControlNetPipeline
+        # surface: reference examples/v1/qwen-image-controlnet.py)
+        self.controlnet = controlnet
 
     def prepare_edit(self, images) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Edit conditioning image(s) -> (tokens (B, S_cond, C), ids).
@@ -82,6 +86,8 @@ class QwenImagePipeline:
         image=None,  # edit: (B, H, W, 3) in [0, 1] or list of them
         cond_tokens: jnp.ndarray | None = None,  # pre-packed edit latents
         cond_ids: jnp.ndarray | None = None,
+        control_image=None,  # controlnet: (B, H, W, 3) in [0, 1]
+        controlnet_conditioning_scale: float = 1.0,
     ) -> QwenImagePipelineOutput:
         if lightning is not None:
             preset = LIGHTNING_PRESETS[lightning]
@@ -110,6 +116,18 @@ class QwenImagePipeline:
                 )
         else:
             cond_tokens = jnp.zeros((b, 0, latents.shape[-1]), jnp.bfloat16)
+        ctrl_tokens = None
+        if control_image is not None:
+            if self.controlnet is None:
+                raise ValueError("control_image given but pipeline has no controlnet")
+            if self.vae is None or self.vae.encoder is None:
+                raise ValueError("controlnet conditioning needs a VAE encoder")
+            z = self.vae.encode(jnp.asarray(control_image).astype(jnp.bfloat16))
+            ctrl_tokens = pack_latents(z).astype(jnp.bfloat16)
+            if ctrl_tokens.shape[0] < b:
+                ctrl_tokens = jnp.broadcast_to(
+                    ctrl_tokens, (b,) + ctrl_tokens.shape[1:]
+                )
         sigmas = flux_sigmas(num_inference_steps, image_seq_len=s_img)
         sig_pairs = jnp.stack([jnp.asarray(sigmas[:-1]), jnp.asarray(sigmas[1:])], axis=1)
         use_cfg = negative_prompt_embeds is not None and true_cfg_scale > 1.0
@@ -118,6 +136,8 @@ class QwenImagePipeline:
         lat_f, = _denoise(
             model, latents.astype(jnp.float32), prompt_embeds, neg, img_ids,
             cond_tokens, sig_pairs,
+            self.controlnet if ctrl_tokens is not None else None, ctrl_tokens,
+            jnp.float32(controlnet_conditioning_scale),
             cfg_scale=float(true_cfg_scale), use_cfg=use_cfg,
         )
         latents = lat_f.astype(jnp.bfloat16)
@@ -129,8 +149,8 @@ class QwenImagePipeline:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg_scale", "use_cfg"), donate_argnums=(1,))
-def _denoise(model, lat0, pe, npe, img_ids, cond_tokens, sig_pairs, *,
-             cfg_scale, use_cfg):
+def _denoise(model, lat0, pe, npe, img_ids, cond_tokens, sig_pairs,
+             cnet, ctrl_tokens, cnet_scale, *, cfg_scale, use_cfg):
     b = lat0.shape[0]
     s_img = lat0.shape[1]
 
@@ -139,9 +159,23 @@ def _denoise(model, lat0, pe, npe, img_ids, cond_tokens, sig_pairs, *,
         x = lat.astype(jnp.bfloat16)
         if cond_tokens.shape[1]:
             x = jnp.concatenate([x, cond_tokens], axis=1)
-        vel = model(x, pe, t, img_ids)[:, :s_img]
+
+        def run(embeds):
+            samples = None
+            if cnet is not None:
+                # controlnet re-runs every step and per CFG branch with that
+                # branch's embeds (diffusers QwenImageControlNetPipeline)
+                samples = cnet(
+                    lat.astype(jnp.bfloat16), ctrl_tokens, embeds, t,
+                    img_ids[:s_img], conditioning_scale=cnet_scale,
+                )
+            return model(
+                x, embeds, t, img_ids, controlnet_block_samples=samples
+            )[:, :s_img]
+
+        vel = run(pe)
         if use_cfg:
-            vel_neg = model(x, npe, t, img_ids)[:, :s_img]
+            vel_neg = run(npe)
             vel = vel_neg + cfg_scale * (vel - vel_neg)
         return euler_step(lat, vel, sig, sig_next)
 
