@@ -29,7 +29,7 @@ from ..ops.attention import (
     qkv_rope_producer,
     quantize_qk,
 )
-from ..ops.gemm import svdq_gemm_w8a8_gelu_quant
+from ..ops.gemm import _w4a8_use_xla, svdq_gemm_w8a8_gelu_quant
 from ..ops.reference import GELU_SHIFT, rmsnorm
 from .embeddings import apply_rope
 from .linear import DualStreamLinear, SVDQW4A4Linear
@@ -465,10 +465,12 @@ def _can_chain(fc1, fc2, m: int) -> bool:
     # in-model A/B (tools/ablate_fused.py chain-on): the Pallas GELU_QUANT
     # chain beats XLA-fc1 + separate gelu/quantize by ~13 ms/step at FLUX
     # 1024px — the bf16 intermediate's HBM round trip dominates the
-    # kernel-vs-XLA dot-rate difference
+    # kernel-vs-XLA dot-rate difference. w4a8 rides the same int8 chain
+    # with its weights dequantized in-graph (ops/gemm.dequant_w4a8_to_int8).
+    p1 = getattr(fc1, "precision", None)
     return (
-        getattr(fc1, "precision", None) == "int8"
-        and getattr(fc2, "precision", None) == "int8"
+        (p1 == "int8" or (p1 == "w4a8" and _w4a8_use_xla(m, 0, 0)))
+        and getattr(fc2, "precision", None) == p1
         and fc1.logical_out == fc1.out_features
         and fc2.logical_out == fc2.out_features
     )
@@ -514,6 +516,28 @@ def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None):
         sm = fc2.smooth.astype(jnp.float32)
         rsm = jnp.where(sm == 0, 1.0, 1.0 / jnp.where(sm == 0, 1.0, sm))
         fc1_qw, fc2_qw, idx = (None, None, None) if stacked is None else stacked
+        if fc1.precision == "w4a8":
+            # dequant the layer's int4 stacks to int8 once (XLA fusion; the
+            # dynamic-slice by idx fuses in) and run the int8 chain verbatim
+            from ..ops.gemm import dequant_w4a8_to_int8, svdq_gemm_w4a4
+
+            w8_1 = dequant_w4a8_to_int8(
+                fc1.qweight if fc1_qw is None else fc1_qw, fc1.rescales, idx
+            )
+            w8_2 = dequant_w4a8_to_int8(
+                fc2.qweight if fc2_qw is None else fc2_qw, fc2.rescales, idx
+            )
+            qout, qs, la2 = svdq_gemm_w8a8_gelu_quant(
+                qact, asc, w8_1, fc1.wscales, la, fc1.proj_up, fc1.bias,
+                rsm, fc2.proj_down,
+                act_unsigned_next=bool(fc2.act_unsigned),
+                gelu_shift=GELU_SHIFT,
+            )
+            out = svdq_gemm_w4a4(
+                qout, qs, w8_2, fc2.wscales, la2, fc2.proj_up, fc2.bias,
+                precision="int8",
+            )
+            return out[:m].reshape(*lead, out.shape[-1])
         qout, qs, la2 = svdq_gemm_w8a8_gelu_quant(
             qact, asc, fc1.qweight if fc1_qw is None else fc1_qw,
             fc1.wscales, la, fc1.proj_up, fc1.bias,

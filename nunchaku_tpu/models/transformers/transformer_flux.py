@@ -420,7 +420,7 @@ class FluxTransformer2DModel(Module):
         stk = (
             (blocks.ff.fc1.qweight, blocks.ff.fc2.qweight),
             (blocks.ff_context.fc1.qweight, blocks.ff_context.fc2.qweight),
-        ) if getattr(blocks.ff.fc1, "precision", None) == "int8" else None
+        ) if getattr(blocks.ff.fc1, "precision", None) in ("int8", "w4a8") else None
 
         pallas_w = getattr(blocks.ff.fc1, "precision", None) in (
             "w4a8", "int4", "nvfp4"
@@ -465,7 +465,7 @@ class FluxTransformer2DModel(Module):
         n = stop - start
         stk = (
             (blocks.mlp_fc1.qweight, blocks.mlp_fc2.qweight)
-            if getattr(blocks.mlp_fc1, "precision", None) == "int8" else None
+            if getattr(blocks.mlp_fc1, "precision", None) in ("int8", "w4a8") else None
         )
 
         pallas_w = getattr(blocks.mlp_fc1, "precision", None) in (

@@ -157,7 +157,7 @@ class QwenImageTransformer2DModel(Module):
         stk = (
             (blocks.ff.fc1.qweight, blocks.ff.fc2.qweight),
             (blocks.ff_context.fc1.qweight, blocks.ff_context.fc2.qweight),
-        ) if getattr(blocks.ff.fc1, "precision", None) == "int8" else None
+        ) if getattr(blocks.ff.fc1, "precision", None) in ("int8", "w4a8") else None
         pallas_w = getattr(blocks.ff.fc1, "precision", None) in (
             "w4a8", "int4", "nvfp4"
         )

@@ -453,6 +453,49 @@ def _int8_use_xla(m: int, k: int, n: int) -> bool:
     return True
 
 
+def _w4a8_use_xla(m: int, k: int, n: int) -> bool:
+    """Dispatch: XLA dequant+int8-dot vs the Pallas hybrid kernel for w4a8.
+
+    The Pallas kernel re-dequantizes each weight tile once per M-tile
+    (grid m/bm sweeps) and lands at ~100 TF/s; dequantizing ONCE per layer
+    into a (K, N) int8 buffer costs one extra HBM write+read (~3 bytes/elem
+    vs 0.5) but moves the contraction onto XLA's int8 dot (~318 TF/s
+    in-model). Env NUNCHAKU_TPU_W4A8_XLA=0 restores the Pallas kernel."""
+    import os
+
+    return os.environ.get("NUNCHAKU_TPU_W4A8_XLA", "1") != "0"
+
+
+def dequant_w4a8_to_int8(qweight, rescales, layer_idx=None):
+    """int4-packed w4a8 weights -> per-channel int8 (K, N), in-graph.
+
+    Same math as the Pallas w4a8 kernel's in-VMEM rescale
+    (``_gemm_w4a8_kernel``: w8 = clip(round(nibble * rs), -127, 127)), so
+    feeding the result to the int8 MXU is numerically identical — but as an
+    XLA elementwise fusion it runs at HBM speed once per layer and the dot
+    itself rides XLA's 2x-bf16-rate int8 path instead of the ~100 TF/s
+    Pallas hybrid. ``layer_idx`` selects a layer from a stacked (L, K/2, N)
+    array (the dynamic-slice fuses into the dequant fusion — this is an XLA
+    op, not a custom call, so no extra copy materializes).
+    """
+    from ..core.packing import unpack_int4
+
+    if layer_idx is not None:
+        qweight = jax.lax.dynamic_index_in_dim(
+            qweight, layer_idx.reshape(()), 0, keepdims=False
+        )
+    half, n = qweight.shape
+    k = half * 2
+    g = k // rescales.shape[0]
+    w4 = unpack_int4(qweight, axis=0)  # (K, N) int8, logical order
+    rs = jnp.broadcast_to(
+        rescales.astype(jnp.float32)[:, None, :], (k // g, g, n)
+    ).reshape(k, n)
+    return jnp.clip(
+        jnp.round(w4.astype(jnp.float32) * rs), -127, 127
+    ).astype(jnp.int8)
+
+
 def _gemm_w8a8_xla(qact, ascales, qweight, wscales, lora_act, proj_up, bias,
                    out_dtype):
     """int8 GEMM on XLA's native int8 MXU path (2x bf16 rate at large
@@ -816,6 +859,16 @@ def svdq_gemm_w4a4(
             and _int8_use_xla(m, k, n)):
         return _gemm_w8a8_xla(
             qact, ascales, qweight, wscales, lora_act, proj_up, bias, out_dtype
+        )
+
+    if (is_w4a8 and bm is None and bn is None and bk is None
+            and _w4a8_use_xla(m, k, n)):
+        # standalone w4a8: dequant the layer's int4 weights to int8 in-graph
+        # (one HBM-bound fusion) and ride XLA's native int8 dot — int8-turbo
+        # compute at 4-bit weight memory; bit-identical to the Pallas hybrid
+        w8 = dequant_w4a8_to_int8(qweight, rescales, layer_idx)
+        return _gemm_w8a8_xla(
+            qact, ascales, w8, wscales, lora_act, proj_up, bias, out_dtype
         )
 
     if is_int8 and bm is None and bn is None and bk is None:

@@ -234,6 +234,64 @@ class TestW4A8:
         e4 = float(jnp.linalg.norm(o4 - ref) / jnp.linalg.norm(ref))
         assert e48 <= e4 * 1.05, (e48, e4)
 
+    def test_xla_dequant_equals_pallas(self):
+        """The default XLA path (dequant_w4a8_to_int8 + int8 dot) must be
+        bit-identical to the Pallas hybrid kernel (explicit tiles force it):
+        both compute w8 = clip(round(nibble * rs)) then exact int32 dots."""
+        from nunchaku_tpu.core.packing import pack_int4
+        from nunchaku_tpu.ops.gemm import svdq_gemm_w4a4
+        from nunchaku_tpu.ops.quantize import quantize_w4a4_act_fuse_lora
+
+        rng_ = np.random.default_rng(17)
+        m, k, n, g = 64, 512, 256, 64
+        x = jnp.asarray(rng_.standard_normal((m, k)), jnp.bfloat16)
+        pd = jnp.asarray(rng_.standard_normal((k, 32)) * 0.05, jnp.bfloat16)
+        pu = jnp.asarray(rng_.standard_normal((32, n)) * 0.05, jnp.bfloat16)
+        sm = jnp.asarray(np.abs(rng_.standard_normal(k)) + 0.5, jnp.bfloat16)
+        bias = jnp.asarray(rng_.standard_normal(n) * 0.1, jnp.bfloat16)
+        qw = jnp.asarray(pack_int4(rng_.integers(-7, 8, (k, n)), axis=0))
+        rs = jnp.asarray(rng_.random((k // g, n)) + 0.5, jnp.bfloat16)
+        ws = jnp.asarray(rng_.random((1, n)) * 0.01 + 0.001, jnp.float32)
+        qa, asc, la = quantize_w4a4_act_fuse_lora(x, pd, sm, precision="w4a8")
+
+        pallas = svdq_gemm_w4a4(
+            qa, asc, qw, ws, la, pu, bias, rescales=rs, precision="w4a8",
+            bm=64, bn=128, bk=512,
+        )
+        xla = svdq_gemm_w4a4(
+            qa, asc, qw, ws, la, pu, bias, rescales=rs, precision="w4a8",
+        )
+        np.testing.assert_array_equal(np.asarray(pallas), np.asarray(xla))
+
+    def test_chain_w4a8_equals_int8_twin(self):
+        """gelu_mlp on w4a8 linears (in-graph dequant + int8 chain) must be
+        bit-identical to the same chain on int8 twins whose qweight is the
+        dequantized w8 — the dequant-equivalence contract end-to-end."""
+        import jax
+
+        from nunchaku_tpu.models.attention import gelu_mlp
+        from nunchaku_tpu.models.linear import SVDQW4A4Linear
+        from nunchaku_tpu.ops.gemm import dequant_w4a8_to_int8
+
+        key = jax.random.PRNGKey(3)
+        k1, k2, k3 = jax.random.split(key, 3)
+        fc1 = SVDQW4A4Linear.random_init(k1, 512, 1024, rank=16, precision="w4a8")
+        fc2 = SVDQW4A4Linear.random_init(k2, 1024, 512, rank=16, precision="w4a8")
+
+        def twin(lin):
+            w8 = dequant_w4a8_to_int8(lin.qweight, lin.rescales)
+            return SVDQW4A4Linear(
+                w8, lin.wscales, lin.smooth, lin.proj_down, lin.proj_up,
+                lin.bias, precision="int8", act_unsigned=lin.act_unsigned,
+            )
+
+        x = jax.random.normal(k3, (1, 64, 512), jnp.bfloat16)
+        out_w4a8 = gelu_mlp(fc1, fc2, x)
+        out_int8 = gelu_mlp(twin(fc1), twin(fc2), x)
+        np.testing.assert_array_equal(
+            np.asarray(out_w4a8), np.asarray(out_int8)
+        )
+
 
 class TestGeluQuantChain:
     """Fused GELU_QUANT chain (reference src/Linear.cpp:270-438): producer
