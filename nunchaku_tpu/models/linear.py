@@ -288,9 +288,14 @@ class SVDQW4A4Linear(Module):
         (B, K) AdaLN vectors pre-adjusted for (1 + scale)."""
         b, s, k = x.shape
         bm = next((c for c in (512, 384, 256, 128, 64, 32, 16, 8) if s % c == 0), None)
+        from ..ops.gemm import _w4a8_use_xla
+
         if (
-            self.precision == "int8"  # w4a8 takes the same int8 acts but
-            # measured +13 ms/step with the producer (tools notes) — int8 only
+            # int8, or w4a8 on the XLA dequant+dot route (both consume
+            # per-token int8 acts). The legacy Pallas w4a8 GEMM measured
+            # +13 ms/step when fed Pallas-produced qact — keep it off there.
+            (self.precision == "int8"
+             or (self.precision == "w4a8" and _w4a8_use_xla(0, 0, 0)))
             and not self.act_unsigned
             and bm is not None
             and k == self.in_features

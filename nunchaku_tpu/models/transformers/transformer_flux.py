@@ -52,6 +52,17 @@ def set_fused_ln_quant(enabled: bool) -> None:
     FUSED_LN_QUANT = bool(enabled)
 
 
+def _ln_producer_ok(lin) -> bool:
+    """The ln_mod_quant_int8 producer applies when the consumer takes
+    per-token int8 activations: int8 always; w4a8 only on the XLA
+    dequant+dot route (the Pallas hybrid GEMM measured +13 ms/step when
+    fed Pallas-produced qact — tools/ablate_ln_quant.py notes)."""
+    from ...ops.gemm import _w4a8_use_xla
+
+    p = getattr(lin, "precision", None)
+    return p == "int8" or (p == "w4a8" and _w4a8_use_xla(0, 0, 0))
+
+
 @dataclass(frozen=True)
 class FluxConfig:
     num_layers: int = 19
@@ -124,9 +135,11 @@ class FluxTransformerBlock(Module):
         fused_ln = (
             FUSED_LN_QUANT
             and sdt == jnp.bfloat16
-            # int8 only: w4a8 measured +13 ms/step WITH the producer (its
-            # Pallas GEMM loses the overlap the XLA quantize chain gave it)
-            and getattr(self.attn.to_qkv, "precision", None) == "int8"
+            # int8 + (since the XLA dequant+dot route) w4a8: both consume
+            # int8 activations. The old Pallas w4a8 GEMM measured +13 ms
+            # WITH the producer; gate on _ln_producer_ok so the legacy
+            # kernel path (NUNCHAKU_TPU_W4A8_XLA=0) keeps it off.
+            and _ln_producer_ok(self.attn.to_qkv)
             and getattr(self.attn, "qkv_merged", None) is None
         )
         if fused_ln:
@@ -210,8 +223,8 @@ class FluxSingleTransformerBlock(Module):
         fused_ln = (
             FUSED_LN_QUANT
             and x.dtype == jnp.bfloat16
-            and getattr(self.attn.to_qkv, "precision", None) == "int8"
-            and getattr(self.mlp_fc1, "precision", None) == "int8"
+            and _ln_producer_ok(self.attn.to_qkv)
+            and _ln_producer_ok(self.mlp_fc1)
         )
         if fused_ln:
             # the shared AdaLN output feeds BOTH producers; two fused

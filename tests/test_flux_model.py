@@ -212,15 +212,18 @@ def test_merged_dual_streams_matches_unmerged():
     assert err < 1e-2, err
 
 
-def test_fused_ln_quant_equivalence():
+@pytest.mark.parametrize("precision", ["int8", "w4a8"])
+def test_fused_ln_quant_equivalence(precision):
     """FUSED_LN_QUANT (Pallas LN+modulate+quantize producers) matches the
-    unfused XLA path to quantization-noise level on an int8 bf16-stream
-    model (the turbo config where the fusion activates)."""
+    unfused XLA path to quantization-noise level on a bf16-stream model
+    (the turbo config where the fusion activates). w4a8 engages the same
+    producer on its XLA dequant+dot route."""
     import nunchaku_tpu.models.transformers.transformer_flux as TF
 
     cfg = FluxConfig(
         num_layers=1, num_single_layers=1, num_attention_heads=2,
-        joint_attention_dim=512, pooled_projection_dim=256, precision="int8",
+        joint_attention_dim=512, pooled_projection_dim=256,
+        precision=precision,
     )
     m = FluxTransformer2DModel.random_init(jax.random.PRNGKey(7), cfg)
     m.set_stream_dtype(jnp.bfloat16)
