@@ -239,7 +239,8 @@ class FluxAttention(Module):
             return jax.lax.psum(x, self.tp_axis)
         return x
 
-    def _forward_fused(self, qkv, hidden, encoder_hidden, rot, heads_local):
+    def _forward_fused(self, qkv, hidden, encoder_hidden, rot, heads_local,
+                       kv_mask=None):
         """Half-split prep (split+transpose+rmsnorm+rope+scale as one fused
         XLA elementwise chain — the interleaved-pair reshape that blocked
         fusion is gone) -> flash with direct (B, S, H*D) output and the
@@ -267,7 +268,8 @@ class FluxAttention(Module):
         if encoder_hidden is None:
             q, k, v = prep(qkv, cos, sin, self.norm_q, self.norm_k)
             return flash_attention(
-                q, k, v, scale=1.0, out_bshd=True, fixed_softmax=True
+                q, k, v, scale=1.0, out_bshd=True, fixed_softmax=True,
+                kv_mask=kv_mask,
             )
 
         s_txt = encoder_hidden.shape[1]
@@ -305,24 +307,26 @@ class FluxAttention(Module):
             q = jnp.concatenate([q_t, q_i], axis=2)
             k = jnp.concatenate([k_t, k_i], axis=2)
             v = jnp.concatenate([v_t, v_i], axis=2)
-        o = flash_attention(q, k, v, scale=1.0, out_bshd=True, fixed_softmax=True)
+        o = flash_attention(q, k, v, scale=1.0, out_bshd=True, fixed_softmax=True,
+                            kv_mask=kv_mask)
         txt_o, img_o = o[:, :s_txt], o[:, s_txt:]
         return (self._psum(self.to_out(img_o)), self._psum(self.to_add_out(txt_o)))
 
-    def _attend(self, q, k, v, out_bshd: bool = False, prescaled: bool = False):
+    def _attend(self, q, k, v, out_bshd: bool = False, prescaled: bool = False,
+                kv_mask=None):
         """Dense flash returns (B, S, H*D) when out_bshd (the inverse head
         transpose rides the kernel's out BlockSpec, -17 ms/step at FLUX
         1024px) and uses the fixed-shift softmax (-27 ms/step, and *more*
         accurate than online vs the f64 oracle — ops/attention.py).
         ``prescaled``: softmax-scale * log2(e) was folded into q upstream.
         The block-sparse path keeps (B, H, S, D)."""
-        if getattr(self, "sparsity_ratio", 0.0) > 0.0:
+        if kv_mask is None and getattr(self, "sparsity_ratio", 0.0) > 0.0:
             return block_sparse_attention(
                 q, k, v, sparsity_ratio=self.sparsity_ratio,
                 scale=1.0 if prescaled else None, out_bshd=out_bshd,
                 fixed_softmax=getattr(self, "fixed_softmax", True),
             )
-        if prescaled and getattr(self, "attn_int8", False):
+        if kv_mask is None and prescaled and getattr(self, "attn_int8", False):
             q8, qs, k8, ks = quantize_qk(q, k)
             return flash_attention_i8(q8, qs, k8, ks, v, out_bshd=out_bshd)
         unroll = getattr(self, "attn_kv_unroll", 1)
@@ -330,10 +334,11 @@ class FluxAttention(Module):
             q, k, v, scale=1.0 if prescaled else None, out_bshd=out_bshd,
             fixed_softmax=getattr(self, "fixed_softmax", True),
             bkv=768 if unroll == 2 else 1536, kv_unroll=unroll,
+            kv_mask=kv_mask,
         )
 
     def __call__(self, hidden, encoder_hidden=None, rot=None, ip_kv=None,
-                 mods=None, qkv=None):
+                 mods=None, qkv=None, kv_mask=None):
         """Dual: returns (img_attn_out, txt_attn_out[, ip_attn_out]).
         Single: raw attn (B,S,HD). ``ip_kv = (k_ip, v_ip)`` each (B, S_ip, HD)
         adds IP-Adapter image cross-attention using the image-stream query
@@ -371,7 +376,7 @@ class FluxAttention(Module):
         )
         if fused:
             return self._forward_fused(
-                qkv, hidden, encoder_hidden, rot, heads_local
+                qkv, hidden, encoder_hidden, rot, heads_local, kv_mask=kv_mask
             )
         if isinstance(rot, tuple):
             raise ValueError(
@@ -384,7 +389,8 @@ class FluxAttention(Module):
                 qkv, self.head_dim, self.norm_q, self.norm_k, rot,
                 prescale=prescale,
             )
-            return self._attend(q, k, v, out_bshd=True, prescaled=True)
+            return self._attend(q, k, v, out_bshd=True, prescaled=True,
+                                kv_mask=kv_mask)
 
         s_txt = encoder_hidden.shape[1]
         if not merged:
@@ -407,7 +413,7 @@ class FluxAttention(Module):
         q = jnp.concatenate([q_t, q_i], axis=2)
         k = jnp.concatenate([k_t, k_i], axis=2)
         v = jnp.concatenate([v_t, v_i], axis=2)
-        o = self._attend(q, k, v, out_bshd=True, prescaled=True)
+        o = self._attend(q, k, v, out_bshd=True, prescaled=True, kv_mask=kv_mask)
         txt_o, img_o = o[:, :s_txt], o[:, s_txt:]
         if merged:
             out_joint = self.out_merged(txt_o, img_o)

@@ -121,7 +121,7 @@ class FluxTransformerBlock(Module):
         )
 
     def __call__(self, img, txt, temb, rot, ip_kv=None, ip_scale: float = 1.0,
-                 mods=None, ff_stacked=None):
+                 mods=None, ff_stacked=None, kv_mask=None):
         # residual math in f32; the carry is cast back to the stream dtype
         # (f32 default; set_stream_dtype(bf16) halves stream HBM traffic
         # like the reference's bf16 streams, src/FluxModel.cpp)
@@ -152,6 +152,7 @@ class FluxTransformerBlock(Module):
             attn_outs = self.attn(
                 img, txt, rot, ip_kv=ip_kv,
                 mods=((scale_msa, shift_msa), (c_scale_msa, c_shift_msa)),
+                kv_mask=kv_mask,
             )
         else:
             norm_img, gate_msa, shift_mlp, scale_mlp, gate_mlp = self.norm1(
@@ -160,7 +161,8 @@ class FluxTransformerBlock(Module):
             norm_txt, c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp = self.norm1_context(
                 txt, temb, mod=m1c
             )
-            attn_outs = self.attn(norm_img, norm_txt, rot, ip_kv=ip_kv)
+            attn_outs = self.attn(norm_img, norm_txt, rot, ip_kv=ip_kv,
+                                  kv_mask=kv_mask)
         attn_img, attn_txt = attn_outs[0], attn_outs[1]
         attn_img = tap("dual.attn_img", attn_img)
         attn_txt = tap("dual.attn_txt", attn_txt)

@@ -123,6 +123,7 @@ class QwenImageTransformer2DModel(Module):
         img_ids: jnp.ndarray,  # (S_img, 3)
         txt_ids: jnp.ndarray | None = None,  # (S_txt, 3); default: index rope
         controlnet_block_samples: jnp.ndarray | None = None,  # (L, B, S_img, D)
+        encoder_hidden_states_mask: jnp.ndarray | None = None,  # (B, S_txt) bool
     ) -> jnp.ndarray:
         from ..embeddings import timestep_embedding
 
@@ -170,6 +171,21 @@ class QwenImageTransformer2DModel(Module):
 
         ctrl = _expand_controlnet(controlnet_block_samples, n_layers)
 
+        # padded-prompt mask (reference encoder_hidden_states_mask,
+        # transformer_qwenimage.py forward): joint [txt; img] kv validity —
+        # every query ignores padded text keys, so valid rows match the
+        # unpadded computation exactly
+        kv_mask = None
+        if encoder_hidden_states_mask is not None:
+            b = img.shape[0]
+            kv_mask = jnp.concatenate(
+                [
+                    encoder_hidden_states_mask.astype(jnp.bool_),
+                    jnp.ones((b, img.shape[1]), jnp.bool_),
+                ],
+                axis=1,
+            )
+
         def body(carry, layer):
             block, c, i = layer
             ffs = None
@@ -177,7 +193,7 @@ class QwenImageTransformer2DModel(Module):
                 ffs = ((*stk[0], i), (*stk[1], i))
             if pallas_w:
                 block = attach_stacked_weights(block, blocks, i)
-            im, tx = block(*carry, temb, rot, ff_stacked=ffs)
+            im, tx = block(*carry, temb, rot, ff_stacked=ffs, kv_mask=kv_mask)
             if c is not None:
                 if c.shape[1] != im.shape[1]:
                     # edit-mode streams append cond tokens after the S_img

@@ -338,8 +338,12 @@ FIXED_CAP = 116.0
 
 
 def _flash_kernel_fixed(
-    q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr, *, scale: float, kv_len: int
+    q_ref, k_ref, v_ref, *rest, scale: float, kv_len: int
 ):
+    if len(rest) == 4:  # optional (B, S_kv) additive log2-domain mask
+        m_ref, o_ref, l_scr, acc_scr = rest
+    else:
+        (o_ref, l_scr, acc_scr), m_ref = rest, None
     j = pl.program_id(2)
     nj = pl.num_programs(2)
 
@@ -357,6 +361,8 @@ def _flash_kernel_fixed(
     )
     if scale != 1.0:
         s = s * (scale * LOG2E)
+    if m_ref is not None:
+        s = s + m_ref[0]  # (1, bkv) broadcasts over query rows
 
     bkv = k.shape[0]
     if kv_len % bkv:
@@ -480,8 +486,12 @@ def _flash_kernel_fixed_i8(
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float, kv_len: int
+    q_ref, k_ref, v_ref, *rest, scale: float, kv_len: int
 ):
+    if len(rest) == 5:  # optional (B, S_kv) additive log2-domain mask
+        m_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        (o_ref, m_scr, l_scr, acc_scr), m_ref = rest, None
     j = pl.program_id(2)
     nj = pl.num_programs(2)
 
@@ -502,6 +512,8 @@ def _flash_kernel(
     )
     if scale != 1.0:
         s = s * (scale * LOG2E)
+    if m_ref is not None:
+        s = s + m_ref[0]
 
     bkv = k.shape[0]
     if kv_len % bkv:
@@ -548,6 +560,7 @@ def flash_attention(
     out_bshd: bool = False,
     fixed_softmax: bool = False,
     kv_unroll: int = 1,
+    kv_mask: jnp.ndarray | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Dense non-causal attention over (B, H, S, D) bf16 tensors.
@@ -559,6 +572,11 @@ def flash_attention(
     into q (the qkv_prepare path). ``out_bshd=True`` writes the output
     directly as (B, S, H*D) via the out BlockSpec index map — the inverse
     head transpose never materializes in HBM.
+
+    ``kv_mask``: optional (B, S_kv) key/value validity — bool (True =
+    attend) or f32 additive log2-domain bias. Masks padded text tokens in
+    batched variable-length prompts (the reference's
+    encoder_hidden_states_mask, transformer_qwenimage.py forward).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -569,6 +587,8 @@ def flash_attention(
 
     bq = min(bq, _round_up(sq, 128))
     bkv = min(bkv, _round_up(skv, 128))
+    if kv_mask is not None:
+        kv_unroll = 1  # masked path: single-kv-block kernels only
     if not (fixed_softmax and kv_unroll == 2):
         kv_unroll = 1
     pq = (-sq) % bq
@@ -620,15 +640,29 @@ def flash_attention(
         ]
         kv_blk = bkv
 
+    in_specs = [
+        pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kv_blk, d), lambda g, i, j: (g, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kv_blk, d), lambda g, i, j: (g, j, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [q3, k3, v3]
+    if kv_mask is not None:
+        if kv_mask.dtype == jnp.bool_:
+            kv_mask = jnp.where(kv_mask, 0.0, NEG_INF)
+        maskp = kv_mask.astype(jnp.float32)
+        if pkv:
+            maskp = jnp.pad(maskp, ((0, 0), (0, pkv)))  # tail-mask covers it
+        inputs.append(maskp.reshape(b, 1, skv + pkv))
+        in_specs.append(
+            pl.BlockSpec((1, 1, kv_blk), lambda g, i, j: (g // h, 0, j),
+                         memory_space=pltpu.VMEM)
+        )
+
     grid = (bh, (sq + pq) // bq, (skv + pkv) // kv_blk)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, d), lambda g, i, j: (g, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kv_blk, d), lambda g, i, j: (g, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kv_blk, d), lambda g, i, j: (g, j, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
         scratch_shapes=scratch,
@@ -641,7 +675,7 @@ def flash_attention(
             transcendentals=bh * (sq + pq) * (skv + pkv),
         ),
         interpret=interpret,
-    )(q3, k3, v3)
+    )(*inputs)
     if out_bshd:
         return out[:, :sq]
     return out[:, :sq].reshape(b, h, sq, d)

@@ -76,6 +76,8 @@ class QwenImagePipeline:
         self,
         prompt_embeds: jnp.ndarray,  # (B, S_txt, joint_dim)
         negative_prompt_embeds: jnp.ndarray | None = None,
+        prompt_embeds_mask: jnp.ndarray | None = None,  # (B, S_txt) bool
+        negative_prompt_embeds_mask: jnp.ndarray | None = None,
         height: int = 1024,
         width: int = 1024,
         num_inference_steps: int = 20,
@@ -133,11 +135,16 @@ class QwenImagePipeline:
         use_cfg = negative_prompt_embeds is not None and true_cfg_scale > 1.0
         neg = negative_prompt_embeds if use_cfg else prompt_embeds
 
+        pe_mask = prompt_embeds_mask
+        neg_mask = negative_prompt_embeds_mask if use_cfg else pe_mask
+        if (pe_mask is None) != (neg_mask is None):
+            raise ValueError("pass masks for both prompt branches or neither")
         lat_f, = _denoise(
             model, latents.astype(jnp.float32), prompt_embeds, neg, img_ids,
             cond_tokens, sig_pairs,
             self.controlnet if ctrl_tokens is not None else None, ctrl_tokens,
             jnp.float32(controlnet_conditioning_scale),
+            pe_mask, neg_mask,
             cfg_scale=float(true_cfg_scale), use_cfg=use_cfg,
         )
         latents = lat_f.astype(jnp.bfloat16)
@@ -150,7 +157,8 @@ class QwenImagePipeline:
 
 @functools.partial(jax.jit, static_argnames=("cfg_scale", "use_cfg"), donate_argnums=(1,))
 def _denoise(model, lat0, pe, npe, img_ids, cond_tokens, sig_pairs,
-             cnet, ctrl_tokens, cnet_scale, *, cfg_scale, use_cfg):
+             cnet, ctrl_tokens, cnet_scale, pe_mask=None, neg_mask=None, *,
+             cfg_scale, use_cfg):
     b = lat0.shape[0]
     s_img = lat0.shape[1]
 
@@ -160,7 +168,7 @@ def _denoise(model, lat0, pe, npe, img_ids, cond_tokens, sig_pairs,
         if cond_tokens.shape[1]:
             x = jnp.concatenate([x, cond_tokens], axis=1)
 
-        def run(embeds):
+        def run(embeds, emask):
             samples = None
             if cnet is not None:
                 # controlnet re-runs every step and per CFG branch with that
@@ -170,12 +178,13 @@ def _denoise(model, lat0, pe, npe, img_ids, cond_tokens, sig_pairs,
                     img_ids[:s_img], conditioning_scale=cnet_scale,
                 )
             return model(
-                x, embeds, t, img_ids, controlnet_block_samples=samples
+                x, embeds, t, img_ids, controlnet_block_samples=samples,
+                encoder_hidden_states_mask=emask,
             )[:, :s_img]
 
-        vel = run(pe)
+        vel = run(pe, pe_mask)
         if use_cfg:
-            vel_neg = run(npe)
+            vel_neg = run(npe, neg_mask)
             vel = vel_neg + cfg_scale * (vel - vel_neg)
         return euler_step(lat, vel, sig, sig_next)
 

@@ -104,3 +104,39 @@ def test_fused_qkv_prep_equivalence():
     out = np.asarray(f(fused, *args), np.float32)
     err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert err < 2e-2, err
+
+
+def test_encoder_hidden_states_mask_matches_unpadded():
+    """Padded text tokens + encoder_hidden_states_mask reproduce the
+    unpadded forward exactly on the image stream (reference
+    transformer_qwenimage.py forward's encoder_hidden_states_mask):
+    masked keys are invisible to every query, so the extra rows cannot
+    leak into valid positions."""
+    cfg = QwenImageConfig(
+        num_layers=2, num_attention_heads=2, joint_attention_dim=320
+    )
+    model = QwenImageTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+    B, S_img, S_valid, S_pad = 1, 64, 16, 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, S_img, 64), jnp.bfloat16)
+    txt = jax.random.normal(
+        jax.random.PRNGKey(2), (B, S_valid + S_pad, 320), jnp.bfloat16
+    )
+    t = jnp.array([0.5], jnp.float32)
+    ii = jnp.zeros((S_img, 3), jnp.int32)
+    fwd = jax.jit(lambda m, *a, **k: m(*a, **k))
+
+    ref = fwd(model, x, txt[:, :S_valid], t, ii)
+    mask = jnp.arange(S_valid + S_pad)[None, :] < S_valid
+    out = fwd(model, x, txt, t, ii, encoder_hidden_states_mask=mask)
+    # identical image-stream outputs: rope positions for valid txt tokens
+    # are the same (index rope), and masked keys contribute nothing
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=0,
+    )
+    # and an all-ones mask equals no mask at all
+    ones = jnp.ones((B, S_valid + S_pad), bool)
+    a = fwd(model, x, txt, t, ii, encoder_hidden_states_mask=ones)
+    b2 = fwd(model, x, txt, t, ii)
+    np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                  np.asarray(b2, np.float32))
