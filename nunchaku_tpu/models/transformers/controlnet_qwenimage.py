@@ -88,6 +88,7 @@ class QwenImageControlNetModel(Module):
         img_ids: jnp.ndarray,  # (S_img, 3)
         txt_ids: jnp.ndarray | None = None,
         conditioning_scale: float = 1.0,
+        encoder_hidden_states_mask: jnp.ndarray | None = None,  # (B, S_txt)
     ) -> jnp.ndarray:
         """Returns controlnet_block_samples (L, B, S_img, dim)."""
         cfg = self.cfg
@@ -113,9 +114,19 @@ class QwenImageControlNetModel(Module):
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)
         rot = rope_table(ids, cfg.axes_dims_rope)
 
+        kv_mask = None
+        if encoder_hidden_states_mask is not None:
+            kv_mask = jnp.concatenate(
+                [
+                    encoder_hidden_states_mask.astype(jnp.bool_),
+                    jnp.ones((img.shape[0], img.shape[1]), jnp.bool_),
+                ],
+                axis=1,
+            )
+
         def body(carry, layer):
             block, proj = layer
-            im, tx = block(*carry, temb, rot)
+            im, tx = block(*carry, temb, rot, kv_mask=kv_mask)
             sample = proj(im.astype(jnp.bfloat16)).astype(jnp.float32)
             return (im, tx), sample
 

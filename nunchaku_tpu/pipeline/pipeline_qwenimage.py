@@ -176,6 +176,7 @@ def _denoise(model, lat0, pe, npe, img_ids, cond_tokens, sig_pairs,
                 samples = cnet(
                     lat.astype(jnp.bfloat16), ctrl_tokens, embeds, t,
                     img_ids[:s_img], conditioning_scale=cnet_scale,
+                    encoder_hidden_states_mask=emask,
                 )
             return model(
                 x, embeds, t, img_ids, controlnet_block_samples=samples,
