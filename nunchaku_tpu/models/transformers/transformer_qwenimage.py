@@ -115,16 +115,15 @@ class QwenImageTransformer2DModel(Module):
             Linear.random_init(ks[5], cfg.dim, cfg.proj_out_channels),
         )
 
-    def __call__(
+    def embed(
         self,
-        hidden_states: jnp.ndarray,  # (B, S_img, in_channels)
-        encoder_hidden_states: jnp.ndarray,  # (B, S_txt, joint_dim)
-        timestep: jnp.ndarray,  # (B,)
-        img_ids: jnp.ndarray,  # (S_img, 3)
-        txt_ids: jnp.ndarray | None = None,  # (S_txt, 3); default: index rope
-        controlnet_block_samples: jnp.ndarray | None = None,  # (L, B, S_img, D)
-        encoder_hidden_states_mask: jnp.ndarray | None = None,  # (B, S_txt) bool
-    ) -> jnp.ndarray:
+        hidden_states: jnp.ndarray,
+        encoder_hidden_states: jnp.ndarray,
+        timestep: jnp.ndarray,
+        img_ids: jnp.ndarray,
+        txt_ids: jnp.ndarray | None = None,
+    ):
+        """Input projections + conditioning -> (img, txt, temb, rot)."""
         from ..embeddings import timestep_embedding
 
         cfg = self.cfg
@@ -150,6 +149,25 @@ class QwenImageTransformer2DModel(Module):
             from ...ops.attention import rope_table_halfsplit
 
             rot = rope_table_halfsplit(rot)
+        return img, txt, temb, rot
+
+    def head(self, img: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
+        out = self.norm_out(img.astype(jnp.bfloat16), temb)
+        return self.proj_out(out).astype(jnp.bfloat16)
+
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,  # (B, S_img, in_channels)
+        encoder_hidden_states: jnp.ndarray,  # (B, S_txt, joint_dim)
+        timestep: jnp.ndarray,  # (B,)
+        img_ids: jnp.ndarray,  # (S_img, 3)
+        txt_ids: jnp.ndarray | None = None,  # (S_txt, 3); default: index rope
+        controlnet_block_samples: jnp.ndarray | None = None,  # (L, B, S_img, D)
+        encoder_hidden_states_mask: jnp.ndarray | None = None,  # (B, S_txt) bool
+    ) -> jnp.ndarray:
+        img, txt, temb, rot = self.embed(
+            hidden_states, encoder_hidden_states, timestep, img_ids, txt_ids
+        )
 
         # stacked-weight prefetch (see FluxTransformer2DModel.run_dual):
         # int8 threads the fc1/fc2 chain stacks; 4-bit modes attach every
@@ -207,5 +225,4 @@ class QwenImageTransformer2DModel(Module):
             body, (img, txt),
             (blocks, ctrl, jnp.arange(n_layers, dtype=jnp.int32)),
         )
-        out = self.norm_out(img.astype(jnp.bfloat16), temb)
-        return self.proj_out(out).astype(jnp.bfloat16)
+        return self.head(img, temb)

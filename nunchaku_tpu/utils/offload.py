@@ -102,3 +102,35 @@ class OffloadedFluxForward:
         x = jnp.concatenate([txt, img], axis=1)
         x = self.single.run(self._single_fn, x, temb, rot)
         return self._head(m, x[:, s_txt:], temb)
+
+
+class OffloadedQwenImageForward:
+    """Offloaded forward for QwenImageTransformer2DModel (the reference's
+    main offload target: ``set_offload`` streams the 20B Qwen through
+    3-4 GB of VRAM, transformer_qwenimage.py:415-451). Embeddings and the
+    output head stay resident; the 60-block joint stack streams from host
+    RAM with lookahead prefetch."""
+
+    def __init__(self, model, lookahead: int = 1):
+        cfg = model.cfg
+        self.blocks = BlockStreamer(model.blocks, cfg.num_layers,
+                                    lookahead=lookahead)
+        self.model = jax.tree_util.tree_map(lambda x: x, model)
+        self.model.blocks = None
+        self.model.refresh_pytree()
+
+        self._block_fn = jax.jit(
+            lambda blk, c, temb, rot: blk(c[0], c[1], temb, rot)
+        )
+        self._embed = jax.jit(lambda m, *a: m.embed(*a))
+        self._head = jax.jit(lambda m, img, temb: m.head(img, temb))
+
+    def __call__(self, hidden_states, encoder_hidden_states, timestep,
+                 img_ids, txt_ids=None):
+        m = self.model
+        img, txt, temb, rot = self._embed(
+            m, hidden_states, encoder_hidden_states, timestep, img_ids,
+            txt_ids,
+        )
+        img, txt = self.blocks.run(self._block_fn, (img, txt), temb, rot)
+        return self._head(m, img, temb)
