@@ -200,12 +200,19 @@ class SanaGLUMBConv(Module):
         from ..linear import pad_rows
         from ...ops.quantize import quantize_w4a4_act_fuse_lora
 
-        qact, asc, la = quantize_w4a4_act_fuse_lora(
-            pad_rows(y2), self.point.proj_down, self.point.smooth,
-            precision=self.point.precision, fuse_glu=True,
-        )
-        out = self.point.forward_quant(qact, asc, la)[:m]
-        out = out.reshape(b, s, -1)
+        if getattr(self.point, "proj_down", None) is None:
+            # plain-Linear point conv (bf16 twin / debug builds): unfused GLU
+            half = c2 // 2
+            val, gate = y2[:, :half], y2[:, half:]
+            g = val.astype(jnp.float32) * jax.nn.silu(gate.astype(jnp.float32))
+            out = self.point(g.astype(jnp.bfloat16)).reshape(b, s, -1)
+        else:
+            qact, asc, la = quantize_w4a4_act_fuse_lora(
+                pad_rows(y2), self.point.proj_down, self.point.smooth,
+                precision=self.point.precision, fuse_glu=True,
+            )
+            out = self.point.forward_quant(qact, asc, la)[:m]
+            out = out.reshape(b, s, -1)
         if self.tp_axis is not None:  # point conv is row-parallel
             out = jax.lax.psum(out, self.tp_axis)
         return out

@@ -150,13 +150,20 @@ class ZImageFeedForward(Module):
         h = self.w13(x)  # (..., 2*inner) = [value | gate] halves
         lead = h.shape[:-1]
         m = _math.prod(lead)
-        h2 = pad_rows(h.reshape(m, h.shape[-1]), 8 if m <= 8 else 256)
-        qact, asc, la = quantize_w4a4_act_fuse_lora(
-            h2, self.w2.proj_down, self.w2.smooth,
-            precision=self.w2.precision, fuse_glu=True,
-        )
-        out = self.w2.forward_quant(qact, asc, la)
-        out = out[:m].reshape(*lead, out.shape[-1])
+        if getattr(self.w2, "proj_down", None) is None:
+            # plain-Linear w2 (bf16 twin / debug builds): unfused SwiGLU
+            k2 = h.shape[-1] // 2
+            val, gate = h[..., :k2], h[..., k2:]
+            g = (val.astype(jnp.float32) * jax.nn.silu(gate.astype(jnp.float32)))
+            out = self.w2(g.astype(jnp.bfloat16))
+        else:
+            h2 = pad_rows(h.reshape(m, h.shape[-1]), 8 if m <= 8 else 256)
+            qact, asc, la = quantize_w4a4_act_fuse_lora(
+                h2, self.w2.proj_down, self.w2.smooth,
+                precision=self.w2.precision, fuse_glu=True,
+            )
+            out = self.w2.forward_quant(qact, asc, la)
+            out = out[:m].reshape(*lead, out.shape[-1])
         if self.tp_axis is not None:
             out = jax.lax.psum(out, self.tp_axis)
         return out

@@ -157,3 +157,71 @@ def test_golden_real_checkpoint(name, precision):
     )
     score = compute_lpips(ref_imgs, gen_imgs)
     assert score < budget * 1.10, (score, budget)
+
+
+@pytest.mark.parametrize("family", ["qwenimage", "zimage", "sana"])
+def test_twin_model_bounds_other_families(family):
+    """The dequantized-twin quality bound extends beyond FLUX: each model
+    family's int8 engine forward tracks its exact bf16 twin within the
+    activation-quantization envelope (the golden contract's engine half —
+    real-checkpoint LPIPS activates via NUNCHAKU_TPU_CKPT_ROOT)."""
+    key = jax.random.PRNGKey(0)
+    if family == "qwenimage":
+        from nunchaku_tpu.models.transformers.transformer_qwenimage import (
+            QwenImageConfig, QwenImageTransformer2DModel,
+        )
+
+        cfg = QwenImageConfig(num_layers=2, num_attention_heads=2,
+                              joint_attention_dim=320, precision="int8")
+        model = QwenImageTransformer2DModel.random_init(key, cfg)
+        args = (
+            jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64), jnp.bfloat16),
+            jax.random.normal(jax.random.PRNGKey(2), (1, 16, 320), jnp.bfloat16),
+            jnp.array([0.5], jnp.float32),
+            jnp.zeros((64, 3), jnp.int32),
+        )
+    elif family == "zimage":
+        from nunchaku_tpu.models.transformers.transformer_zimage import (
+            ZImageConfig, ZImageTransformer2DModel,
+        )
+
+        cfg = ZImageConfig(
+            dim=512, num_layers=2, num_refiner_layers=1,
+            num_attention_heads=4, in_channels=16, patch_size=2,
+            cap_feat_dim=512, axes_dims_rope=[32, 48, 48], ffn_inner=1024,
+            precision="int8",
+        )
+        model = ZImageTransformer2DModel.random_init(key, cfg)
+        ii = np.zeros((256, 3), np.int32)
+        ii[:, 1] = np.arange(256) // 16
+        ii[:, 2] = np.arange(256) % 16
+        args = (
+            jax.random.normal(jax.random.PRNGKey(1), (1, 256, 64), jnp.bfloat16),
+            jax.random.normal(jax.random.PRNGKey(2), (1, 64, 512), jnp.bfloat16),
+            jnp.full((1,), 0.5, jnp.float32),
+            jnp.asarray(ii),
+            jnp.zeros((64, 3), jnp.int32),
+        )
+    else:
+        from nunchaku_tpu.models.transformers.transformer_sana import (
+            SanaConfig, SanaTransformer2DModel,
+        )
+
+        cfg = SanaConfig(
+            num_layers=2, num_attention_heads=4, attention_head_dim=32,
+            num_cross_attention_heads=4, cross_attention_head_dim=32,
+            caption_channels=320, in_channels=32, precision="int8",
+        )
+        model = SanaTransformer2DModel.random_init(key, cfg)
+        args = (
+            jax.random.normal(jax.random.PRNGKey(1), (1, 256, 32), jnp.bfloat16),
+            jax.random.normal(jax.random.PRNGKey(2), (1, 48, 320), jnp.bfloat16),
+            jnp.array([0.5], jnp.float32),
+        )
+
+    twin = dequantized_twin(model)
+    f = jax.jit(lambda m, *a: m(*a))
+    y_eng = np.asarray(f(model, *args), np.float32)
+    y_ref = np.asarray(f(twin, *args), np.float32)
+    err = np.linalg.norm(y_eng - y_ref) / (np.linalg.norm(y_ref) + 1e-9)
+    assert np.isfinite(err) and err < 0.15, (family, err)
