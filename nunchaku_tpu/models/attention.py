@@ -320,6 +320,17 @@ class FluxAttention(Module):
         accurate than online vs the f64 oracle — ops/attention.py).
         ``prescaled``: softmax-scale * log2(e) was folded into q upstream.
         The block-sparse path keeps (B, H, S, D)."""
+        sp = getattr(self, "sp_axis", None)
+        if sp is not None:
+            # sequence parallelism: S is sharded over mesh axis `sp` inside
+            # shard_map; kv shards ride the ICI ring (parallel/sp.py)
+            from ..parallel.sp import ring_attention
+
+            o = ring_attention(q, k, v, sp, scale=1.0 if prescaled else None)
+            if out_bshd:
+                b_, h_, s_, d_ = o.shape
+                return o.transpose(0, 2, 1, 3).reshape(b_, s_, h_ * d_)
+            return o
         if kv_mask is None and getattr(self, "sparsity_ratio", 0.0) > 0.0:
             return block_sparse_attention(
                 q, k, v, sparsity_ratio=self.sparsity_ratio,
@@ -370,6 +381,7 @@ class FluxAttention(Module):
         fused = (
             getattr(self, "prep_fused", False)
             and getattr(self, "sparsity_ratio", 0.0) == 0.0
+            and getattr(self, "sp_axis", None) is None
             and ip_kv is None
             and not merged
             and isinstance(rot, tuple)

@@ -386,6 +386,50 @@ def _flash_kernel_fixed(
         o_ref[0] = (acc_scr[...] / l_scr[...][:, :1]).astype(o_ref.dtype)
 
 
+def _flash_kernel_fixed_denom(
+    q_ref, k_ref, v_ref, o_ref, l_ref, l_scr, acc_scr, *, scale: float,
+    kv_len: int
+):
+    """Fixed-shift softmax flash emitting BOTH the unnormalized-then-
+    normalized output and the softmax denominator l = sum_k p. Because the
+    fixed shift needs no running max, partial results over disjoint kv
+    shards combine EXACTLY: o = sum_i(o_i * l_i) / sum_i(l_i) — the basis
+    of the ring (sequence-parallel) attention in parallel/sp.py."""
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if scale != 1.0:
+        s = s * (scale * LOG2E)
+    bkv = k.shape[0]
+    if kv_len % bkv:
+        base = j * bkv
+        col = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp2(jnp.minimum(s, FIXED_CAP) - FIXED_SHIFT)
+    l_scr[...] += jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
+    )
+    acc_scr[...] += jnp.dot(
+        p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nj - 1)
+    def _done():
+        o_ref[0] = (acc_scr[...] / l_scr[...][:, :1]).astype(o_ref.dtype)
+        l_ref[0, :] = l_scr[:, 0]
+
+
 def _flash_kernel_fixed2(
     q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr, *, scale: float, kv_len: int,
     bkv: int,
@@ -547,7 +591,7 @@ def _flash_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "bq", "bkv", "out_bshd", "fixed_softmax",
-                     "kv_unroll", "interpret"),
+                     "kv_unroll", "return_denom", "interpret"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -561,6 +605,7 @@ def flash_attention(
     fixed_softmax: bool = False,
     kv_unroll: int = 1,
     kv_mask: jnp.ndarray | None = None,
+    return_denom: bool = False,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Dense non-causal attention over (B, H, S, D) bf16 tensors.
@@ -589,6 +634,11 @@ def flash_attention(
     bkv = min(bkv, _round_up(skv, 128))
     if kv_mask is not None:
         kv_unroll = 1  # masked path: single-kv-block kernels only
+    if return_denom:
+        # partial-softmax outputs for ring/sequence-parallel combination
+        # (parallel/sp.py): fixed softmax only, plain (B, H, S, D) out
+        assert fixed_softmax and not out_bshd and kv_mask is None
+        kv_unroll = 1
     if not (fixed_softmax and kv_unroll == 2):
         kv_unroll = 1
     pq = (-sq) % bq
@@ -615,7 +665,16 @@ def flash_attention(
         )
         out_shape = jax.ShapeDtypeStruct((bh, sq + pq, d), q.dtype)
 
-    if kv_unroll == 2:
+    if return_denom:
+        kernel = functools.partial(
+            _flash_kernel_fixed_denom, scale=scale, kv_len=skv
+        )
+        scratch = [
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ]
+        kv_blk = bkv
+    elif kv_unroll == 2:
         kernel = functools.partial(
             _flash_kernel_fixed2, scale=scale, kv_len=skv, bkv=bkv
         )
@@ -658,6 +717,13 @@ def flash_attention(
                          memory_space=pltpu.VMEM)
         )
 
+    if return_denom:
+        out_spec = [
+            out_spec,
+            pl.BlockSpec((1, bq), lambda g, i, j: (g, i), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((bh, sq + pq), jnp.float32)]
+
     grid = (bh, (sq + pq) // bq, (skv + pkv) // kv_blk)
     out = pl.pallas_call(
         kernel,
@@ -676,6 +742,12 @@ def flash_attention(
         ),
         interpret=interpret,
     )(*inputs)
+    if return_denom:
+        o, l = out
+        return (
+            o[:, :sq].reshape(b, h, sq, d),
+            l[:, :sq].reshape(b, h, sq),
+        )
     if out_bshd:
         return out[:, :sq]
     return out[:, :sq].reshape(b, h, sq, d)

@@ -224,3 +224,84 @@ def test_tp_sana_matches_single_device():
     corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
     assert err < 0.03, err
     assert corr > 0.999, corr
+
+
+def test_ring_attention_matches_dense():
+    """Sequence-parallel ring attention over an 8-way mesh equals dense
+    flash attention (exact partial-softmax combine via the fixed shift)."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from nunchaku_tpu.ops.attention import flash_attention
+    from nunchaku_tpu.parallel.sp import ring_attention
+
+    shard_map = partial(jax.shard_map, check_vma=False)
+
+    B, H, S, D = 1, 2, 1024, 128  # S/8 = 128-token shards
+    rng_ = np.random.default_rng(3)
+    q = jnp.asarray(rng_.standard_normal((B, H, S, D)) * 0.3, jnp.bfloat16)
+    k = jnp.asarray(rng_.standard_normal((B, H, S, D)) * 0.3, jnp.bfloat16)
+    v = jnp.asarray(rng_.standard_normal((B, H, S, D)) * 0.3, jnp.bfloat16)
+
+    ref = np.asarray(
+        flash_attention(q, k, v, fixed_softmax=True), np.float32
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("sp",))
+    f = shard_map(
+        partial(ring_attention, axis="sp", interpret=True),
+        mesh=mesh,
+        in_specs=(P(None, None, "sp", None),) * 3,
+        out_specs=P(None, None, "sp", None),
+    )
+    out = np.asarray(jax.jit(f)(q, k, v), np.float32)
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+
+    # denominators are shard-size invariant: a 2-way ring agrees too
+    mesh2 = Mesh(np.array(jax.devices()[:2]).reshape(2), ("sp",))
+    f2 = shard_map(
+        partial(ring_attention, axis="sp", interpret=True),
+        mesh=mesh2,
+        in_specs=(P(None, None, "sp", None),) * 3,
+        out_specs=P(None, None, "sp", None),
+    )
+    out2 = np.asarray(jax.jit(f2)(q, k, v), np.float32)
+    np.testing.assert_allclose(out2, ref, atol=5e-3)
+
+
+def test_sequence_parallel_flux_matches_single_device():
+    """parallelize_sequence: full FLUX forward with the token sequence
+    sharded 8 ways (weights replicated, ring attention) == single device."""
+    from nunchaku_tpu.parallel.sp import parallelize_sequence
+
+    # int8 for the tight bound: per-token quantization is shard-invariant,
+    # so the only differences are flash tile boundaries at the shard size
+    # (the int4 group quantizer amplifies those to ~3% on random weights —
+    # same effect the TP tests document above)
+    cfg = FluxConfig(
+        num_layers=1, num_single_layers=1, num_attention_heads=2,
+        joint_attention_dim=512, pooled_projection_dim=256, precision="int8",
+    )
+    model = FluxTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+
+    B, S_img, S_txt = 1, 512, 64
+    ii = np.zeros((S_img, 3), np.int32)
+    ii[:, 1] = np.arange(S_img) // 32
+    ii[:, 2] = np.arange(S_img) % 32
+    args = (
+        jax.random.normal(jax.random.PRNGKey(1), (B, S_img, 64), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(2), (B, S_txt, 512), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(3), (B, 256), jnp.bfloat16),
+        jnp.full((B,), 0.5, jnp.float32),
+        jnp.asarray(ii),
+        jnp.zeros((S_txt, 3), jnp.int32),
+        jnp.full((B,), 3.5, jnp.float32),
+    )
+    ref = np.asarray(jax.jit(lambda m, *a: m(*a))(model, *args), np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("sp",))
+    replicated, fwd = parallelize_sequence(model, mesh)
+    out = np.asarray(fwd(replicated, *args), np.float32)
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert err < 0.01, err
