@@ -130,3 +130,44 @@ def parallelize_sequence(model, mesh):
         return m(*args)
 
     return replicated, forward
+
+
+def parallelize_sequence_qwenimage(model, mesh):
+    """Sequence-parallel Qwen-Image forward (same ring-attention design as
+    :func:`parallelize_sequence`; only the argument list differs). The 20B
+    Qwen at high resolution is activation-bound — sharding the token axis
+    splits both activation memory and the O(S^2) attention.
+
+    Pass EXPLICIT ``txt_ids`` (global token-index rope, (S_txt, 3)): the
+    transformer's in-model default would number each local shard from 0."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    _set_sp_axis(model, "sp")
+    specs = jax.tree.map(lambda _: P(), model)
+    replicated = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), model, specs
+    )
+
+    data_specs = (
+        P(None, "sp", None),  # hidden_states
+        P(None, "sp", None),  # encoder_hidden_states
+        P(None),  # timestep
+        P("sp", None),  # img_ids
+        P("sp", None),  # txt_ids
+    )
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(specs,) + data_specs,
+        out_specs=P(None, "sp", None),
+        check_vma=False,
+    )
+    def forward(m, *args):
+        return m(*args)
+
+    return replicated, forward

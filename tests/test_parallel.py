@@ -305,3 +305,38 @@ def test_sequence_parallel_flux_matches_single_device():
     out = np.asarray(fwd(replicated, *args), np.float32)
     err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert err < 0.01, err
+
+
+def test_sequence_parallel_qwen_matches_single_device():
+    from nunchaku_tpu.models.transformers.transformer_qwenimage import (
+        QwenImageConfig,
+        QwenImageTransformer2DModel,
+    )
+    from nunchaku_tpu.parallel.sp import parallelize_sequence_qwenimage
+
+    cfg = QwenImageConfig(
+        num_layers=2, num_attention_heads=2, joint_attention_dim=320,
+        precision="int8",
+    )
+    model = QwenImageTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+    B, S_img, S_txt = 1, 256, 32
+    ii = np.zeros((S_img, 3), np.int32)
+    ii[:, 1] = np.arange(S_img) // 16
+    ii[:, 2] = np.arange(S_img) % 16
+    # explicit txt_ids: Qwen's default index rope must follow GLOBAL token
+    # positions, not the local shard's — the pipeline passes them sharded
+    txt_ids = jnp.tile(jnp.arange(S_txt, dtype=jnp.int32)[:, None], (1, 3))
+    args = (
+        jax.random.normal(jax.random.PRNGKey(1), (B, S_img, 64), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(2), (B, S_txt, 320), jnp.bfloat16),
+        jnp.full((B,), 0.5, jnp.float32),
+        jnp.asarray(ii),
+        txt_ids,
+    )
+    ref = np.asarray(jax.jit(lambda m, *a: m(*a))(model, *args), np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("sp",))
+    replicated, fwd = parallelize_sequence_qwenimage(model, mesh)
+    out = np.asarray(fwd(replicated, *args), np.float32)
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert err < 0.01, err
