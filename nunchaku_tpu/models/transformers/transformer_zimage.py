@@ -115,9 +115,17 @@ class ZImageAttention(Module):
                 qkv, self.head_dim, self.norm_q, self.norm_k, rot,
                 prescale=prescale,
             )
-        o = flash_attention(
-            q, k, v, scale=1.0, out_bshd=True, fixed_softmax=True
-        )
+        sp = getattr(self, "sp_axis", None)
+        if sp is not None:
+            # sequence parallelism: kv shards ride the ICI ring
+            from ...parallel.sp import ring_attention
+
+            o4 = ring_attention(q, k, v, sp, scale=1.0)
+            o = o4.transpose(0, 2, 1, 3).reshape(b, s, -1)
+        else:
+            o = flash_attention(
+                q, k, v, scale=1.0, out_bshd=True, fixed_softmax=True
+            )
         out = self.to_out(o)
         if self.tp_axis is not None:
             out = jax.lax.psum(out, self.tp_axis)

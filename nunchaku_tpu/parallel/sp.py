@@ -74,10 +74,11 @@ def ring_attention(
 
 def _set_sp_axis(model, axis: str) -> None:
     from ..models.attention import FluxAttention
+    from ..models.transformers.transformer_zimage import ZImageAttention
 
     for _, mod in model.modules():
         for child in vars(mod).values():
-            if isinstance(child, FluxAttention):
+            if isinstance(child, (FluxAttention, ZImageAttention)):
                 child.sp_axis = axis
     if isinstance(model, type(model)) and hasattr(model, "refresh_pytree"):
         model.refresh_pytree()
@@ -140,6 +141,43 @@ def parallelize_sequence_qwenimage(model, mesh):
 
     Pass EXPLICIT ``txt_ids`` (global token-index rope, (S_txt, 3)): the
     transformer's in-model default would number each local shard from 0."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    _set_sp_axis(model, "sp")
+    specs = jax.tree.map(lambda _: P(), model)
+    replicated = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), model, specs
+    )
+
+    data_specs = (
+        P(None, "sp", None),  # hidden_states
+        P(None, "sp", None),  # encoder_hidden_states
+        P(None),  # timestep
+        P("sp", None),  # img_ids
+        P("sp", None),  # txt_ids
+    )
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(specs,) + data_specs,
+        out_specs=P(None, "sp", None),
+        check_vma=False,
+    )
+    def forward(m, *args):
+        return m(*args)
+
+    return replicated, forward
+
+
+def parallelize_sequence_zimage(model, mesh):
+    """Sequence-parallel Z-Image forward (S3-DiT: noise/context refiners +
+    joint stack — each stage's token axis shards consistently, ring
+    attention per stage)."""
     from functools import partial
 
     from jax.sharding import NamedSharding

@@ -340,3 +340,37 @@ def test_sequence_parallel_qwen_matches_single_device():
     out = np.asarray(fwd(replicated, *args), np.float32)
     err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert err < 0.01, err
+
+
+def test_sequence_parallel_zimage_matches_single_device():
+    from nunchaku_tpu.models.transformers.transformer_zimage import (
+        ZImageConfig,
+        ZImageTransformer2DModel,
+    )
+    from nunchaku_tpu.parallel.sp import parallelize_sequence_zimage
+
+    cfg = ZImageConfig(
+        dim=512, num_layers=2, num_refiner_layers=1, num_attention_heads=4,
+        cap_feat_dim=512, ffn_inner=1024, precision="int8",
+    )
+    model = ZImageTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+    B, S_img, S_txt = 1, 256, 32
+    ii = np.zeros((S_img, 3), np.int32)
+    ii[:, 1] = np.arange(S_img) // 16
+    ii[:, 2] = np.arange(S_img) % 16
+    ti = np.zeros((S_txt, 3), np.int32)
+    ti[:, 0] = np.arange(S_txt)
+    args = (
+        jax.random.normal(jax.random.PRNGKey(1), (B, S_img, 64), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(2), (B, S_txt, 512), jnp.bfloat16),
+        jnp.full((B,), 0.5, jnp.float32),
+        jnp.asarray(ii),
+        jnp.asarray(ti),
+    )
+    ref = np.asarray(jax.jit(lambda m, *a: m(*a))(model, *args), np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("sp",))
+    replicated, fwd = parallelize_sequence_zimage(model, mesh)
+    out = np.asarray(fwd(replicated, *args), np.float32)
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert err < 0.01, err
