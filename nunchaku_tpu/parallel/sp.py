@@ -209,3 +209,59 @@ def parallelize_sequence_zimage(model, mesh):
         return m(*args)
 
     return replicated, forward
+
+
+def parallelize_2d(model, mesh):
+    """Combined sequence x tensor parallelism for FLUX over mesh axes
+    ('sp', 'tp'): weights shard Megatron-style over 'tp' (parallel/tp.py
+    pairing — column-parallel QKV/fc1, row-parallel out/fc2 with in-module
+    psums), the token sequence shards over 'sp', and attention runs the kv
+    ppermute ring within each tp group on tp-local heads. The two schemes
+    are orthogonal: tp splits the weight/channel axis, sp the token axis —
+    an (sp=2, tp=4) v5e-8 slice gets 8-way compute with 1/4 weight HBM per
+    chip and 1/2 activation memory."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from .tp import (
+        _reorder_qkv_columns,
+        _scale_row_parallel_bias,
+        _set_tp_axis,
+        flux_param_specs,
+    )
+
+    tp = mesh.shape["tp"]
+    _set_tp_axis(model, "tp")
+    if tp > 1:
+        _reorder_qkv_columns(model, tp)
+        _scale_row_parallel_bias(model, tp)
+    _set_sp_axis(model, "sp")
+    specs = flux_param_specs(model)
+    sharded = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), model, specs
+    )
+
+    data_specs = (
+        P(None, "sp", None),  # hidden_states
+        P(None, "sp", None),  # encoder_hidden_states
+        P(None, None),  # pooled_projections
+        P(None),  # timestep
+        P("sp", None),  # img_ids
+        P("sp", None),  # txt_ids
+        P(None),  # guidance
+    )
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(specs,) + data_specs,
+        out_specs=P(None, "sp", None),
+        check_vma=False,
+    )
+    def forward(m, *args):
+        return m(*args)
+
+    return sharded, forward

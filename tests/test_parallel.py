@@ -374,3 +374,39 @@ def test_sequence_parallel_zimage_matches_single_device():
     out = np.asarray(fwd(replicated, *args), np.float32)
     err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert err < 0.01, err
+
+
+def test_sp_x_tp_2d_mesh_matches_single_device():
+    """Combined sequence x tensor parallelism (sp=2, tp=4 over 8 devices):
+    the kv ring runs within each tp group on tp-local heads while weights
+    shard Megatron-style — both communication patterns compose."""
+    from nunchaku_tpu.parallel.sp import parallelize_2d
+
+    cfg = FluxConfig(
+        num_layers=1, num_single_layers=1, num_attention_heads=8,
+        joint_attention_dim=512, pooled_projection_dim=256, precision="int8",
+    )
+    model = FluxTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+
+    B, S_img, S_txt = 1, 256, 64
+    ii = np.zeros((S_img, 3), np.int32)
+    ii[:, 1] = np.arange(S_img) // 16
+    ii[:, 2] = np.arange(S_img) % 16
+    args = (
+        jax.random.normal(jax.random.PRNGKey(1), (B, S_img, 64), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(2), (B, S_txt, 512), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(3), (B, 256), jnp.bfloat16),
+        jnp.full((B,), 0.5, jnp.float32),
+        jnp.asarray(ii),
+        jnp.zeros((S_txt, 3), jnp.int32),
+        jnp.full((B,), 3.5, jnp.float32),
+    )
+    ref = np.asarray(jax.jit(lambda m, *a: m(*a))(model, *args), np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("sp", "tp"))
+    sharded, fwd = parallelize_2d(model, mesh)
+    out = np.asarray(fwd(sharded, *args), np.float32)
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert err < 0.02, err
+    assert corr > 0.999, corr
