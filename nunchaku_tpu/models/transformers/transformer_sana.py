@@ -58,8 +58,14 @@ class SanaConfig:
         return int(self.dim * self.expand_ratio)
 
 
-def lite_la(qkv: jnp.ndarray, dim: int, eps: float = 1e-15) -> jnp.ndarray:
-    """ReLU linear attention over fused qkv (B, S, 3*dim), 32-dim heads."""
+def lite_la(qkv: jnp.ndarray, dim: int, eps: float = 1e-15,
+            sp_axis: str | None = None) -> jnp.ndarray:
+    """ReLU linear attention over fused qkv (B, S, 3*dim), 32-dim heads.
+
+    ``sp_axis``: sequence parallelism — S is sharded over that mesh axis;
+    linear attention's kv statistics are token SUMS, so one psum of the
+    (d x d) vk moment and the k-sum makes the sharded computation exact
+    (far cheaper than softmax attention's ring)."""
     b, s, _ = qkv.shape
     q, k, v = jnp.split(qkv[..., : 3 * dim], 3, axis=-1)
     h = dim // LA_HEAD_DIM
@@ -72,6 +78,9 @@ def lite_la(qkv: jnp.ndarray, dim: int, eps: float = 1e-15) -> jnp.ndarray:
     v = heads(v).astype(jnp.float32)
     vk = jnp.einsum("bhsd,bhse->bhde", k, v)  # (B, H, d, d)
     ksum = jnp.sum(k, axis=2)  # (B, H, d)
+    if sp_axis is not None:
+        vk = jax.lax.psum(vk, sp_axis)
+        ksum = jax.lax.psum(ksum, sp_axis)
     num = jnp.einsum("bhsd,bhde->bhse", q, vk)
     den = jnp.einsum("bhsd,bhd->bhs", q, ksum)[..., None] + eps
     out = (num / den).transpose(0, 2, 1, 3).reshape(b, s, dim)
@@ -104,7 +113,10 @@ class SanaLinearAttention(Module):
             qkv = self.qkv_proj(x)
             # local dim from the projection width: under TP the shard
             # holds heads/tp (32-dim heads stay whole per shard)
-            out = self.out_proj(lite_la(qkv, qkv.shape[-1] // 3))
+            out = self.out_proj(
+                lite_la(qkv, qkv.shape[-1] // 3,
+                        sp_axis=getattr(self, "sp_axis", None))
+            )
         if self.tp_axis is not None:  # out_proj is row-parallel
             out = jax.lax.psum(out, self.tp_axis)
         return out
@@ -187,8 +199,26 @@ class SanaGLUMBConv(Module):
         y = jax.nn.silu(y.astype(jnp.float32)).astype(jnp.bfloat16)
         c2 = y.shape[-1]
         img = y.reshape(b, h_img, w_img, c2).transpose(0, 3, 1, 2)
+        sp = getattr(self, "sp_axis", None)
+        pad_h = (1, 1)
+        if sp is not None:
+            # sequence parallelism shards the pixel rows: the 3x3 depthwise
+            # conv needs one halo row from each grid neighbor (ppermute);
+            # the global top/bottom keep the conv's zero padding
+            n = jax.lax.axis_size(sp)
+            idx = jax.lax.axis_index(sp)
+            up = jax.lax.ppermute(  # neighbor above's last row
+                img[:, :, -1:], sp, [(i, (i + 1) % n) for i in range(n)]
+            )
+            down = jax.lax.ppermute(  # neighbor below's first row
+                img[:, :, :1], sp, [(i, (i - 1) % n) for i in range(n)]
+            )
+            up = jnp.where(idx == 0, jnp.zeros_like(up), up)
+            down = jnp.where(idx == n - 1, jnp.zeros_like(down), down)
+            img = jnp.concatenate([up, img, down], axis=2)
+            pad_h = (0, 0)
         img = jax.lax.conv_general_dilated(
-            img, self.depth_w, (1, 1), [(1, 1), (1, 1)],
+            img, self.depth_w, (1, 1), [pad_h, (1, 1)],
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             feature_group_count=c2,
             preferred_element_type=jnp.float32,
@@ -291,7 +321,10 @@ class SanaTransformer2DModel(Module):
     #    mirroring reference SanaCachedTransformerBlocks, caching/utils.py:33) --
     def embed(self, hidden_states, encoder_hidden_states, timestep):
         b, s, _ = hidden_states.shape
-        side = int(round(s**0.5))
+        sp_n = getattr(self, "_sp_n", 1)  # sequence shards (parallel/sp.py)
+        side = int(round((s * sp_n) ** 0.5))
+        if sp_n > 1:
+            side = (side // sp_n, side)  # local rows x global width
         x = self.patch_embed(hidden_states).astype(jnp.float32)
         cond = self.caption_proj(encoder_hidden_states).astype(jnp.bfloat16)
         temb = self.time_embed(timestep_embedding(timestep * 1000.0, 256))
@@ -309,11 +342,13 @@ class SanaTransformer2DModel(Module):
         pallas_w = getattr(probe, "precision", None) in ("w4a8", "int4", "nvfp4")
         n = stop - start
 
+        hw = side if isinstance(side, tuple) else (side, side)
+
         def body(carry, layer):
             block, i = layer
             if pallas_w:
                 block = attach_stacked_weights(block, blocks, i)
-            return block(carry, cond, temb6, (side, side), cond_mask, pag), None
+            return block(carry, cond, temb6, hw, cond_mask, pag), None
 
         x, _ = jax.lax.scan(body, x, (blocks, jnp.arange(n, dtype=jnp.int32)))
         return x

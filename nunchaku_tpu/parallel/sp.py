@@ -265,3 +265,51 @@ def parallelize_2d(model, mesh):
         return m(*args)
 
     return sharded, forward
+
+
+def parallelize_sequence_sana(model, mesh):
+    """Sequence-parallel SANA forward. Linear attention needs only a psum
+    of its (d x d) kv moment (lite_la sp_axis); cross-attention keeps the
+    short text replicated (no communication); the GLUMBConv 3x3 depthwise
+    conv exchanges one pixel-row halo with each grid neighbor via ppermute.
+    The image token grid shards along rows: H must divide the axis size."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from ..models.transformers.transformer_sana import (
+        SanaGLUMBConv,
+        SanaLinearAttention,
+    )
+
+    n = mesh.shape["sp"]
+    for _, mod in model.modules():
+        for child in vars(mod).values():
+            if isinstance(child, (SanaLinearAttention, SanaGLUMBConv)):
+                child.sp_axis = "sp"
+    model._sp_n = n  # embed() reconstructs the global grid from local S
+
+    specs = jax.tree.map(lambda _: P(), model)
+    replicated = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), model, specs
+    )
+
+    data_specs = (
+        P(None, "sp", None),  # hidden_states (pixel rows sharded)
+        P(None, None, None),  # encoder_hidden_states (short text, replicated)
+        P(None),  # timestep
+    )
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(specs,) + data_specs,
+        out_specs=P(None, "sp", None),
+        check_vma=False,
+    )
+    def forward(m, *args):
+        return m(*args)
+
+    return replicated, forward

@@ -410,3 +410,31 @@ def test_sp_x_tp_2d_mesh_matches_single_device():
     corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
     assert err < 0.02, err
     assert corr > 0.999, corr
+
+
+def test_sequence_parallel_sana_matches_single_device():
+    """SANA SP: lite_la kv-moment psum + GLUMBConv row-halo exchange +
+    replicated cross-attention text — exact vs single device."""
+    from nunchaku_tpu.models.transformers.transformer_sana import (
+        SanaConfig,
+        SanaTransformer2DModel,
+    )
+    from nunchaku_tpu.parallel.sp import parallelize_sequence_sana
+
+    cfg = SanaConfig(
+        num_layers=2, num_attention_heads=4, attention_head_dim=32,
+        num_cross_attention_heads=4, cross_attention_head_dim=32,
+        caption_channels=320, in_channels=32, precision="int8",
+    )
+    model = SanaTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+    B, side, S_txt = 1, 16, 48  # 256 tokens -> 2 rows per device
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, side * side, 32), jnp.bfloat16)
+    cond = jax.random.normal(jax.random.PRNGKey(2), (B, S_txt, 320), jnp.bfloat16)
+    t = jnp.array([0.5], jnp.float32)
+    ref = np.asarray(jax.jit(lambda m, *a: m(*a))(model, x, cond, t), np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("sp",))
+    replicated, fwd = parallelize_sequence_sana(model, mesh)
+    out = np.asarray(fwd(replicated, x, cond, t), np.float32)
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert err < 0.01, err
