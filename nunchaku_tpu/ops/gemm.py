@@ -466,6 +466,72 @@ def _w4a8_use_xla(m: int, k: int, n: int) -> bool:
     return os.environ.get("NUNCHAKU_TPU_W4A8_XLA", "1") != "0"
 
 
+def _int4_use_xla() -> bool:
+    """Opt-in (NUNCHAKU_TPU_INT4_XLA=1): route int4/nvfp4 GEMMs through an
+    XLA bf16 dequant + bf16 dot instead of the Pallas plane-split kernel.
+    The Pallas kernel re-dequantizes each weight tile once per M-tile
+    (~90 TF/s); dequantizing once per layer into bf16 buffers moves the
+    contraction onto XLA's bf16 dot (~160 TF/s in-model) at the cost of a
+    bf16 HBM round trip for weights AND activations — needs an on-chip A/B
+    before becoming the default (w4a8/int8 remain the fast serving modes).
+    """
+    import os
+
+    return os.environ.get("NUNCHAKU_TPU_INT4_XLA", "0") == "1"
+
+
+def _expand_group_scales(scales, k, axis_len_is_rows: bool):
+    """(K/G, X) group scales -> full-K expansion along axis 0."""
+    g = k // scales.shape[0]
+    tiled = jnp.broadcast_to(
+        scales.astype(jnp.float32)[:, None, :],
+        (scales.shape[0], g, scales.shape[1]),
+    )
+    return tiled.reshape(k, scales.shape[1])
+
+
+def _gemm_w4a4_xla(qact, ascales_t, qweight, wscales, lora_act, proj_up,
+                   bias, *, precision, act_unsigned, out_dtype, layer_idx):
+    """int4/nvfp4 GEMM as XLA dequant + bf16 dot (same per-element math as
+    the Pallas kernel: values and group scales multiply in bf16, the dot
+    accumulates in f32)."""
+    from ..core.packing import unpack_int4
+
+    if layer_idx is not None:
+        qweight = jax.lax.dynamic_index_in_dim(
+            qweight, layer_idx.reshape(()), 0, keepdims=False
+        )
+    m = qact.shape[0]
+    k = qact.shape[1] * 2
+    n = qweight.shape[1]
+
+    def vals(packed, axis, unsigned):
+        raw = unpack_int4(packed, axis=axis, unsigned=unsigned)
+        if precision == "nvfp4":
+            # e2m1 codes are signed nibbles in [-7, 7] (same extraction as
+            # the kernel's _plane_values)
+            return _decode_e2m1(raw.astype(jnp.int32)).astype(jnp.bfloat16)
+        return raw.astype(jnp.bfloat16)
+
+    a = vals(qact, -1, act_unsigned)  # (M, K)
+    w = vals(qweight, 0, False)  # (K, N)
+    a_s = _expand_group_scales(ascales_t, k, True)  # (K, M)
+    w_s = _expand_group_scales(wscales, k, False)  # (K, N)
+    a = a * a_s.T.astype(jnp.bfloat16)
+    w = w * w_s.astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if lora_act is not None:
+        out = out + jnp.dot(
+            lora_act.astype(jnp.bfloat16), proj_up.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    if bias is not None:
+        out = out + bias.reshape(1, -1).astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
 def dequant_w4a8_to_int8(qweight, rescales, layer_idx=None):
     """int4-packed w4a8 weights -> per-channel int8 (K, N), in-graph.
 
@@ -859,6 +925,14 @@ def svdq_gemm_w4a4(
             and _int8_use_xla(m, k, n)):
         return _gemm_w8a8_xla(
             qact, ascales, qweight, wscales, lora_act, proj_up, bias, out_dtype
+        )
+
+    if (precision in ("int4", "nvfp4") and bm is None and bn is None
+            and bk is None and _int4_use_xla()):
+        return _gemm_w4a4_xla(
+            qact, ascales, qweight, wscales, lora_act, proj_up, bias,
+            precision=precision, act_unsigned=act_unsigned,
+            out_dtype=out_dtype, layer_idx=layer_idx,
         )
 
     if (is_w4a8 and bm is None and bn is None and bk is None

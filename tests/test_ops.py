@@ -263,6 +263,39 @@ class TestW4A8:
         )
         np.testing.assert_array_equal(np.asarray(pallas), np.asarray(xla))
 
+    @pytest.mark.parametrize("precision", ["int4", "nvfp4"])
+    def test_int4_xla_route_matches_pallas(self, precision, monkeypatch):
+        """Opt-in NUNCHAKU_TPU_INT4_XLA route (bf16 dequant + XLA dot) vs
+        the Pallas plane-split kernel: same bf16 per-element dequant math,
+        f32-accumulated dots — results agree to f32 summation-order noise."""
+        from nunchaku_tpu.core.packing import pack_int4
+        from nunchaku_tpu.ops.gemm import svdq_gemm_w4a4
+        from nunchaku_tpu.ops.quantize import quantize_w4a4_act_fuse_lora
+        from nunchaku_tpu.ops.reference import GROUP_FP4, GROUP_INT4
+
+        rng_ = np.random.default_rng(23)
+        m, k, n = 64, 512, 256
+        g = GROUP_INT4 if precision == "int4" else GROUP_FP4
+        x = jnp.asarray(rng_.standard_normal((m, k)), jnp.bfloat16)
+        pd = jnp.asarray(rng_.standard_normal((k, 32)) * 0.05, jnp.bfloat16)
+        pu = jnp.asarray(rng_.standard_normal((32, n)) * 0.05, jnp.bfloat16)
+        sm = jnp.asarray(np.abs(rng_.standard_normal(k)) + 0.5, jnp.bfloat16)
+        bias = jnp.asarray(rng_.standard_normal(n) * 0.1, jnp.bfloat16)
+        qw = jnp.asarray(pack_int4(rng_.integers(-7, 8, (k, n)), axis=0))
+        ws = jnp.asarray(rng_.random((k // g, n)) * 0.01 + 0.001, jnp.bfloat16)
+        qa, asc, la = quantize_w4a4_act_fuse_lora(x, pd, sm, precision=precision)
+
+        monkeypatch.delenv("NUNCHAKU_TPU_INT4_XLA", raising=False)
+        pallas = svdq_gemm_w4a4(qa, asc, qw, ws, la, pu, bias,
+                                precision=precision)
+        monkeypatch.setenv("NUNCHAKU_TPU_INT4_XLA", "1")
+        xla = svdq_gemm_w4a4(qa, asc, qw, ws, la, pu, bias,
+                             precision=precision)
+        a = np.asarray(pallas, np.float32)
+        b = np.asarray(xla, np.float32)
+        err = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+        assert err < 2e-2, err
+
     def test_chain_w4a8_equals_int8_twin(self):
         """gelu_mlp on w4a8 linears (in-graph dequant + int8 chain) must be
         bit-identical to the same chain on int8 twins whose qweight is the
