@@ -36,27 +36,45 @@ def _pad_rank(a: np.ndarray, axis: int) -> np.ndarray:
     return np.pad(a, widths)
 
 
-def _extend_svdq(lin, a: np.ndarray, b_mat: np.ndarray):
-    """Concat LoRA (A (r, K), B (N, r)) onto the SVD branch of a linear."""
+def _extend_svdq(lin, a: np.ndarray, b_mat: np.ndarray, strength: float):
+    """Concat LoRA (A (r, K), B (N, r)) onto the SVD branch of a linear.
+
+    The *unit-strength* appended proj_up rows are kept in ``lora_up_unit``
+    so ``set_lora_strength`` can later SET the appended region to
+    ``unit * strength`` — absolute semantics matching the reference's
+    ``setLoraScale`` (csrc/flux.h:177-198), where repeated calls do not
+    compound."""
     a = _pad_rank(a, 0)
     b_mat = _pad_rank(b_mat, 1)
+    unit = jnp.asarray(b_mat.T, lin.proj_up.dtype)  # (r_pad, N)
     pd = jnp.concatenate(
         [lin.proj_down, jnp.asarray(a.T, lin.proj_down.dtype)], axis=1
     )
-    pu = jnp.concatenate([lin.proj_up, jnp.asarray(b_mat.T, lin.proj_up.dtype)], axis=0)
+    pu = jnp.concatenate([lin.proj_up, unit * strength], axis=0)
     new = jax.tree_util.tree_map(lambda x: x, lin)  # shallow copy via pytree
     new.proj_down = pd
     new.proj_up = pu
     new.rank = pd.shape[1]
+    prev_unit = getattr(lin, "lora_up_unit", None)
+    if prev_unit is not None:
+        # stacking a second LoRA: the base rank stays where the FIRST
+        # append started; unit rows accumulate
+        new.lora_up_unit = jnp.concatenate([prev_unit, unit], axis=0)
+    else:
+        new.lora_base_rank = lin.proj_up.shape[0]
+        new.lora_up_unit = unit
+    new.register_dynamic("lora_up_unit")
     return new
 
 
-def _extend_awq(lin, a: np.ndarray, b_mat: np.ndarray):
+def _extend_awq(lin, a: np.ndarray, b_mat: np.ndarray, strength: float):
     """AdaLN modulation linears get an explicit low-rank side branch
     (reference GEMV_AWQ lora_down/lora_up, src/Linear.cpp:25-57)."""
     new = jax.tree_util.tree_map(lambda x: x, lin)
+    unit = jnp.asarray(b_mat.T, jnp.bfloat16)  # (r, N)
     new.lora_down = jnp.asarray(a.T, jnp.bfloat16)  # (K, r)
-    new.lora_up = jnp.asarray(b_mat.T, jnp.bfloat16)  # (r, N)
+    new.lora_up = unit * strength
+    new.lora_up_unit = unit
     new.refresh_pytree()  # None fields became arrays
     return new
 
@@ -70,7 +88,9 @@ def update_lora_params(model, lora_state_dict: dict, strength: float = 1.0):
     is_canonical = lora_state_dict and all(
         isinstance(v, tuple) and len(v) == 2 for v in lora_state_dict.values()
     )
-    lora = lora_state_dict if is_canonical else to_canonical(lora_state_dict, strength)
+    # convert at unit strength; strength is applied to the appended proj_up
+    # rows only, so set_lora_strength can later retarget it absolutely
+    lora = lora_state_dict if is_canonical else to_canonical(lora_state_dict, 1.0)
 
     # split by stack
     def apply_stack(stacked, stack_name, n_layers, leaf_applier):
@@ -88,10 +108,13 @@ def update_lora_params(model, lora_state_dict: dict, strength: float = 1.0):
         # uniform rank/structure required for restacking: pad every layer
         max_rank: dict[str, int] = {}
         awq_rank: dict[str, int] = {}
+        svdq_lora: dict[str, int] = {}  # module name -> base rank of the append
         for blk in per_layer:
             for name, mod in blk.modules():
                 if hasattr(mod, "proj_down"):
                     max_rank[name] = max(max_rank.get(name, 0), mod.proj_down.shape[1])
+                    if getattr(mod, "lora_up_unit", None) is not None:
+                        svdq_lora[name] = mod.lora_base_rank
                 if hasattr(mod, "wzeros"):
                     r = 0 if mod.lora_down is None else mod.lora_down.shape[1]
                     awq_rank[name] = max(awq_rank.get(name, 0), r)
@@ -103,16 +126,36 @@ def update_lora_params(model, lora_state_dict: dict, strength: float = 1.0):
                     if r < target:
                         mod.proj_down = jnp.pad(mod.proj_down, ((0, 0), (0, target - r)))
                         mod.proj_up = jnp.pad(mod.proj_up, ((0, target - r), (0, 0)))
+                    if name in svdq_lora:
+                        # every layer must carry an identically-shaped
+                        # lora_up_unit leaf for restacking
+                        base = svdq_lora[name]
+                        unit = getattr(mod, "lora_up_unit", None)
+                        n_app = target - base
+                        if unit is None:
+                            mod.lora_up_unit = jnp.zeros(
+                                (n_app, mod.proj_up.shape[-1]), mod.proj_up.dtype
+                            )
+                            mod.lora_base_rank = base
+                        elif unit.shape[0] < n_app:
+                            mod.lora_up_unit = jnp.pad(
+                                unit, ((0, n_app - unit.shape[0]), (0, 0))
+                            )
+                        mod.register_dynamic("lora_up_unit")
                 if hasattr(mod, "wzeros") and awq_rank.get(name, 0) > 0:
                     target = awq_rank[name]
                     k_dim, n_dim = mod.in_features, mod.out_features
                     if mod.lora_down is None:
                         mod.lora_down = jnp.zeros((k_dim, target), jnp.bfloat16)
                         mod.lora_up = jnp.zeros((target, n_dim), jnp.bfloat16)
+                        mod.lora_up_unit = jnp.zeros((target, n_dim), jnp.bfloat16)
                     elif mod.lora_down.shape[1] < target:
                         pad = target - mod.lora_down.shape[1]
                         mod.lora_down = jnp.pad(mod.lora_down, ((0, 0), (0, pad)))
                         mod.lora_up = jnp.pad(mod.lora_up, ((0, pad), (0, 0)))
+                        mod.lora_up_unit = jnp.pad(
+                            mod.lora_up_unit, ((0, pad), (0, 0))
+                        )
                     mod.refresh_pytree()
         return stack_modules(per_layer)
 
@@ -146,13 +189,14 @@ def update_lora_params(model, lora_state_dict: dict, strength: float = 1.0):
         if lin is None:
             return False
         if hasattr(lin, "proj_down"):
-            setattr(obj, name, _extend_svdq(lin, a, b_mat))
+            setattr(obj, name, _extend_svdq(lin, a, b_mat, strength))
             return True
         if hasattr(lin, "wzeros"):
-            setattr(obj, name, _extend_awq(lin, a, b_mat))
+            setattr(obj, name, _extend_awq(lin, a, b_mat, strength))
             return True
-        if hasattr(lin, "weight"):  # plain linear: fold directly
-            w = lin.weight.astype(jnp.float32) + jnp.asarray((b_mat @ a).T)
+        if hasattr(lin, "weight"):  # plain linear: fold directly (strength
+            # baked in — set_lora_strength cannot retarget folded weights)
+            w = lin.weight.astype(jnp.float32) + strength * jnp.asarray((b_mat @ a).T)
             lin.weight = w.astype(lin.weight.dtype)
             return True
         return False
@@ -170,19 +214,29 @@ def update_lora_params(model, lora_state_dict: dict, strength: float = 1.0):
     return new
 
 
-def set_lora_strength(model, strength: float, base_rank: int = 32):
-    """Rescale appended LoRA ranks in place-free fashion (skip the base SVD
-    ranks, reference transformer_flux.py:834-855)."""
+def set_lora_strength(model, strength: float):
+    """SET the LoRA scale to an absolute value (skip the base SVD ranks).
+
+    Matches the reference's ``setLoraScale`` (csrc/flux.h:177-198 /
+    transformer_flux.py:834-855): repeated calls do NOT compound —
+    ``set_lora_strength(m, 0.5)`` then ``(_, 1.0)`` equals setting 1.0 once.
+    Implemented by re-materializing the appended proj_up rows from the
+    stored unit-strength copy (``lora_up_unit``, kept by
+    ``update_lora_params``)."""
     new = jax.tree_util.tree_map(lambda x: x, model)
 
     def scale_stack(stacked):
-        def fix(mod):
-            for name, m in mod.modules():
-                if hasattr(m, "proj_up") and m.proj_up.shape[-2] > base_rank:
-                    pu = m.proj_up
-                    scaled = pu.at[..., base_rank:, :].multiply(strength)
-                    m.proj_up = scaled
-        fix(stacked)
+        for name, m in stacked.modules():
+            unit = getattr(m, "lora_up_unit", None)
+            if unit is None:
+                continue
+            if hasattr(m, "proj_up"):  # SVDQ linear: appended SVD-branch rows
+                base = m.lora_base_rank
+                m.proj_up = m.proj_up.at[..., base:, :].set(
+                    (unit * strength).astype(m.proj_up.dtype)
+                )
+            elif getattr(m, "lora_up", None) is not None:  # AWQ side branch
+                m.lora_up = (unit * strength).astype(m.lora_up.dtype)
         return stacked
 
     new.transformer_blocks = scale_stack(

@@ -135,3 +135,35 @@ class TestApply:
         y_zero = np.asarray(f(zeroed, *args), np.float32)
         assert not np.allclose(y_base, y_lora, atol=1e-3)
         np.testing.assert_allclose(y_zero, y_base, atol=2e-2)
+
+    def test_strength_is_absolute(self, model):
+        """Repeated set_lora_strength calls must NOT compound (reference
+        setLoraScale is absolute, csrc/flux.h:177-198): 0.5 then 1.0 ==
+        1.0 once == the freshly-applied strength-1.0 model."""
+        sd = _diffusers_lora(r=4)
+        new = update_lora_params(model, sd)
+        once = set_lora_strength(new, 1.0)
+        twice = set_lora_strength(set_lora_strength(new, 0.5), 1.0)
+
+        def leaves(m):
+            return jax.tree_util.tree_leaves(m)
+
+        for a, b in zip(leaves(once), leaves(twice)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # and setting 1.0 on a strength-1.0 application is a no-op
+        for a, b in zip(leaves(new), leaves(once)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_update_strength_matches_set(self, model):
+        """update_lora_params(sd, strength=s) == update at 1.0 then
+        set_lora_strength(s)."""
+        sd = _diffusers_lora(r=4)
+        direct = update_lora_params(model, sd, strength=0.7)
+        via_set = set_lora_strength(update_lora_params(model, sd), 0.7)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(direct), jax.tree_util.tree_leaves(via_set)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=0, atol=1e-6,
+            )

@@ -64,6 +64,10 @@ def build_pipeline(args):
         cfg = FluxConfig(precision=args.precision,
                          guidance_embeds=args.model == "dev")
         transformer = FluxTransformer2DModel.dummy_init(cfg)
+        # turbo serving config, same as bench.py: bf16 residual streams +
+        # the fused qkv/rope attention prologue
+        transformer.set_stream_dtype(jnp.bfloat16)
+        transformer.enable_fused_qkv_prep()
     return FluxPipeline(transformer)
 
 
