@@ -59,6 +59,44 @@ def _similar(a, b, threshold):
     return diff < threshold
 
 
+def make_hit_schedule(num_steps: int, hit_ratio: float):
+    """Forced-decision schedule: () int32 per step — 1 = replay the cache,
+    0 = recompute. ``round(hit_ratio * num_steps)`` hits spread evenly over
+    steps 1..N-1 (step 0 must miss: the cache is empty).
+
+    Benchmarking aid: the hit/miss *rate* of a threshold cache depends on
+    the checkpoint (real FLUX at threshold 0.12 gives the reference's ~2x
+    at 50 steps, docs/source/usage/cache.rst:24), which random sandbox
+    weights cannot reproduce (they measure 49/50 — degenerate). A forced
+    schedule runs the exact hit/miss compute of a real cached generation at
+    a *stated* hit count, so the measured latency is auditable. Every hit
+    costs the same (replay of block-0 + cached residuals), so only the
+    count matters, not the placement."""
+    import numpy as np
+
+    h = int(round(hit_ratio * num_steps))
+    h = max(0, min(h, num_steps - 1))
+    sched = np.zeros((num_steps,), np.int32)
+    if h:
+        idx = np.round(np.linspace(1, num_steps - 1, h)).astype(np.int64)
+        # dedupe while keeping the count exact
+        seen, fixed = set(), []
+        for i in idx:
+            while i in seen or i < 1:
+                i += 1
+            seen.add(i)
+            fixed.append(i)
+        sched[np.asarray(fixed, np.int64)] = 1
+    return sched
+
+
+def _apply_force(natural, force):
+    """force: () int32 — <0 keeps the threshold decision, 0/1 overrides."""
+    if force is None:
+        return natural
+    return jnp.where(force < 0, natural, force > 0)
+
+
 def fb_cached_forward(
     model,
     state: FBCacheState,
@@ -74,6 +112,7 @@ def fb_cached_forward(
     single_residual_diff_threshold: float | None = None,
     controlnet_block_samples=None,
     controlnet_single_block_samples=None,
+    force=None,  # () int32: <0 threshold decision, 0 force miss, 1 force hit
 ):
     """One cached transformer step. Returns (velocity, new_state).
 
@@ -98,7 +137,11 @@ def fb_cached_forward(
     )
     first_res = (img1 - img0).astype(jnp.bfloat16)
     hit = jnp.logical_and(
-        state.valid, _similar(first_res, state.prev_first_residual, residual_diff_threshold)
+        state.valid,
+        _apply_force(
+            _similar(first_res, state.prev_first_residual, residual_diff_threshold),
+            force,
+        ),
     )
 
     if single_residual_diff_threshold is None:
@@ -112,8 +155,13 @@ def fb_cached_forward(
                     st.cached_dual_residual_img, st.cached_dual_residual_txt)
 
         def on_miss(st):
+            # Recompute block 0 from the UNSLICED stacked weights: scanning
+            # blocks[1:] would make XLA materialize a ~5.9 GiB copy of the
+            # sliced weight stack as an HLO temp inside this cond branch
+            # (slices of scan xs are copied, not aliased). One redundant
+            # dual block (~2% of a miss step) buys back that entire buffer.
             img_f, txt_f = model.run_dual(
-                img1, txt1, temb, rot, start=1, controlnet_block_samples=cb
+                img0, txt0, temb, rot, start=0, controlnet_block_samples=cb
             )
             x1 = jnp.concatenate([txt_f, img_f], axis=1)
             x_f = model.run_singles(
@@ -136,8 +184,10 @@ def fb_cached_forward(
                     st.cached_dual_residual_img, st.cached_dual_residual_txt)
 
         def d_miss(st):
+            # start=0: recompute block 0 instead of slicing the weight stack
+            # (see the single-level on_miss comment — slice = 5.9 GiB temp)
             img_f, txt_f = model.run_dual(
-                img1, txt1, temb, rot, start=1, controlnet_block_samples=cb
+                img0, txt0, temb, rot, start=0, controlnet_block_samples=cb
             )
             return (img_f, txt_f, (img_f - img1).astype(jnp.bfloat16),
                     (txt_f - txt1).astype(jnp.bfloat16))
@@ -153,15 +203,21 @@ def fb_cached_forward(
         sres = (x2 - x1).astype(jnp.bfloat16)
         shit = jnp.logical_and(
             state.valid,
-            _similar(sres, state.prev_single_residual, single_residual_diff_threshold),
+            _apply_force(
+                _similar(sres, state.prev_single_residual,
+                         single_residual_diff_threshold),
+                force,
+            ),
         )
 
         def s_hit(st):
             return x2 + st.cached_single_residual, st.cached_single_residual
 
         def s_miss(st):
+            # start=0 from x1: recompute single block 0 (== x2) rather than
+            # scan a [1:38] weight-stack slice (~2.2 GiB HLO-temp copy)
             x_f = model.run_singles(
-                x2, temb, rot, s_txt, start=1,
+                x1, temb, rot, s_txt, start=0,
                 controlnet_single_block_samples=csb,
             )
             return x_f, (x_f - x2).astype(jnp.bfloat16)
@@ -236,7 +292,9 @@ def sana_fb_cached_forward(
         )
 
     def on_miss(st):
-        x = model.run_blocks(x1, cond, temb6, side, cond_mask, pag, start=1)
+        # start=0 from x0: recompute block 0 instead of slicing the stacked
+        # weights (slices of scan xs become full HLO-temp copies on TPU)
+        x = model.run_blocks(x0, cond, temb6, side, cond_mask, pag, start=0)
         rest = (x - x1).astype(jnp.bfloat16)
         return x, SanaFBCacheState(
             first_residual, rest, jnp.ones((), jnp.bool_), st.hits,

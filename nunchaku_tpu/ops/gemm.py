@@ -282,9 +282,38 @@ def _gemm_w8a8_kernel(*refs, has_lora, has_bias, out_dtype, grouped_as=False,
 
 
 def _tanh_gelu(x: jnp.ndarray) -> jnp.ndarray:
-    """tanh-approx GELU (reference gemm_utils.cuh:306 semantics), f32."""
+    """tanh-approx GELU (reference gemm_utils.cuh:306 semantics), f32.
+
+    NUNCHAKU_TPU_GELU env selects the epilogue implementation for the A/B:
+      tanh (default) — builtin jnp.tanh
+      sigmoid        — exp2-based: 0.5*(1+tanh z) == sigmoid(2z); one exp2 +
+                       one reciprocal instead of the tanh lowering
+      pade           — clamped Padé [7/6] rational of tanh (mul/add + one
+                       reciprocal, no transcendental); max |tanh err| <1e-4
+    All three compute the SAME mathematical function (the reference's
+    tanh-GELU); they differ only in VPU op mix.
+    """
+    import os
+
+    impl = os.environ.get("NUNCHAKU_TPU_GELU", "tanh")
     c = 0.7978845608028654  # sqrt(2/pi)
-    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+    z = c * (x + 0.044715 * x * x * x)
+    if impl == "sigmoid":
+        # 0.5*(1+tanh z) = sigmoid(2z) = 1/(1 + 2^(-2z*log2e))
+        sig = 1.0 / (1.0 + jnp.exp2(z * (-2.0 * 1.4426950408889634)))
+        return x * sig
+    if impl == "pade":
+        # tanh z ~= z*(135135 + 17325 z^2 + 378 z^4 + z^6) /
+        #           (135135 + 62370 z^2 + 3150 z^4 + 28 z^6), |z| <= 4.97
+        # (continued-fraction Padé(7,6); max |tanh err| < 1e-4 measured over
+        # [-6, 6], GELU abs err < 2e-4 — far under the int8 requantize
+        # granularity; the clamp takes over where the rational leaves [-1,1])
+        z = jnp.clip(z, -4.97, 4.97)
+        z2 = z * z
+        num = z * (135135.0 + z2 * (17325.0 + z2 * (378.0 + z2)))
+        den = 135135.0 + z2 * (62370.0 + z2 * (3150.0 + z2 * 28.0))
+        return 0.5 * x * (1.0 + num / den)
+    return 0.5 * x * (1.0 + jnp.tanh(z))
 
 
 def _tanh_gelu_bf16(x: jnp.ndarray) -> jnp.ndarray:

@@ -59,7 +59,7 @@ def make_img_ids(h_tokens: int, w_tokens: int) -> jnp.ndarray:
 )
 def _denoise_scanned(
     model, lat0, state0, pe, pool, g, cb, csb, img_ids, txt_ids, sig_pairs,
-    cond_seq=None, cond_ch=None,
+    cond_seq=None, cond_ch=None, force_sched=None,
     *, cache_kind, thresh, single_thresh, tea_thresh, num_steps,
 ):
     """Entire denoise loop as one device program (stable jit identity —
@@ -74,7 +74,7 @@ def _denoise_scanned(
     b = lat0.shape[0]
     s_out = lat0.shape[1]
 
-    def one_step(lat, st, sig, sig_next):
+    def one_step(lat, st, sig, sig_next, force):
         t = jnp.full((b,), sig, jnp.float32)
         x = lat.astype(jnp.bfloat16)
         if cond_ch is not None:
@@ -90,6 +90,7 @@ def _denoise_scanned(
                 ),
                 controlnet_block_samples=cb,
                 controlnet_single_block_samples=csb,
+                force=force,
             )
         elif cache_kind == "teacache":
             vel, st = teacache_forward(
@@ -108,11 +109,15 @@ def _denoise_scanned(
             vel = vel[:, :s_out]
         return euler_step(lat, vel, sig, sig_next), st
 
-    def body(carry, sig):
-        lat, st = carry
-        return one_step(lat, st, sig[0], sig[1]), None
+    if force_sched is None:
+        force_sched = jnp.full((sig_pairs.shape[0],), -1, jnp.int32)
 
-    (lat, st), _ = jax.lax.scan(body, (lat0, state0), sig_pairs)
+    def body(carry, xs):
+        lat, st = carry
+        sig, force = xs
+        return one_step(lat, st, sig[0], sig[1], force), None
+
+    (lat, st), _ = jax.lax.scan(body, (lat0, state0), (sig_pairs, force_sched))
     return lat, st
 
 
@@ -120,6 +125,7 @@ def _denoise_scanned(
 class FluxPipelineOutput:
     images: jnp.ndarray | None  # (B, H, W, 3) f32 in [0, 1], None if no VAE
     latents: jnp.ndarray  # (B, S, 64) packed
+    cache_hits: jnp.ndarray | None = None  # () int32, when a cache ran
 
 
 class FluxPipeline:
@@ -204,6 +210,7 @@ class FluxPipeline:
         seed: int = 0,
         latents: jnp.ndarray | None = None,
         cache: str | None = None,  # None | "fb" | "double_fb" | "teacache"
+        cache_hit_ratio: float | None = None,  # force an auditable hit count
         residual_diff_threshold: float = 0.12,
         single_residual_diff_threshold: float = 0.09,
         teacache_rel_l1_thresh: float = 0.6,
@@ -272,11 +279,20 @@ class FluxPipeline:
             sig_pairs = jnp.stack(
                 [jnp.asarray(sigmas[:-1]), jnp.asarray(sigmas[1:])], axis=1
             )
+            force_sched = None
+            if cache_hit_ratio is not None:
+                if cache not in ("fb", "double_fb"):
+                    raise ValueError("cache_hit_ratio needs an FB cache")
+                from ..caching.fbcache import make_hit_schedule
+
+                force_sched = jnp.asarray(
+                    make_hit_schedule(num_inference_steps, cache_hit_ratio)
+                )
             lat_f, state = _denoise_scanned(
                 model, lat_f, state, prompt_embeds, pooled_prompt_embeds,
                 guidance, controlnet_block_samples, controlnet_single_block_samples,
                 img_ids, txt_ids, sig_pairs,
-                cond_tokens, control_latents,
+                cond_tokens, control_latents, force_sched,
                 cache_kind=cache, thresh=residual_diff_threshold,
                 single_thresh=single_residual_diff_threshold,
                 tea_thresh=teacache_rel_l1_thresh,
@@ -305,7 +321,9 @@ class FluxPipeline:
         if self.vae is not None:
             z = unpack_latents(latents, lh, lw).astype(jnp.bfloat16)
             images = self.vae.decode(z)
-        return FluxPipelineOutput(images=images, latents=latents)
+        hits = getattr(state, "hits", None)
+        return FluxPipelineOutput(images=images, latents=latents,
+                                  cache_hits=hits)
 
     def _make_step(
         self, cache, b, s_img, s_txt, num_steps,

@@ -149,6 +149,36 @@ def test_fb_cache_huge_threshold_hits(pipe):
     assert int(st.hits) == 2
 
 
+def test_make_hit_schedule_counts():
+    from nunchaku_tpu.caching.fbcache import make_hit_schedule
+
+    for steps, ratio in [(50, 0.5), (50, 0.0), (50, 0.98), (4, 0.5), (2, 0.5)]:
+        s = make_hit_schedule(steps, ratio)
+        assert s.shape == (steps,) and s[0] == 0
+        assert s.sum() == min(int(round(ratio * steps)), steps - 1)
+
+
+@pytest.mark.parametrize("cache", ["fb", "double_fb"])
+def test_forced_hit_schedule_exact_count_and_semantics(pipe, cache):
+    """cache_hit_ratio drives the decision bit only: the forced run reports
+    exactly the scheduled hit count, and a forced ratio of 0 reproduces the
+    threshold=0 (never-hit) latents bit-for-bit."""
+    pe, pool = _embeds()
+    kw = dict(prompt_embeds=pe, pooled_prompt_embeds=pool,
+              height=128, width=128, num_inference_steps=4, seed=0,
+              cache=cache)
+    out = pipe(**kw, cache_hit_ratio=0.5)
+    assert int(out.cache_hits) == 2
+    forced_miss = pipe(**kw, cache_hit_ratio=0.0)
+    natural_miss = pipe(**kw, residual_diff_threshold=-1.0,
+                        single_residual_diff_threshold=-1.0)
+    assert int(forced_miss.cache_hits) == 0
+    np.testing.assert_array_equal(
+        np.asarray(forced_miss.latents, np.float32),
+        np.asarray(natural_miss.latents, np.float32),
+    )
+
+
 def test_sana_fb_cache_exact_at_zero_threshold():
     """threshold<=0 semantics: with an impossible threshold the cached path
     never hits and matches the plain forward exactly; with a huge threshold

@@ -44,6 +44,10 @@ def get_args():
     p.add_argument("--ignore-ratio", type=float, default=0.2,
                    help="trim this fraction of slowest+fastest samples")
     p.add_argument("--cache", default=None, choices=[None, "fb", "double_fb", "teacache"])
+    p.add_argument("--cache-hit-ratio", type=float, default=None,
+                   help="force an auditable hit count (see fbcache."
+                        "make_hit_schedule); e.g. 0.5 = the reference's "
+                        "2x-at-50-steps claim")
     args = p.parse_args()
     if args.num_inference_steps is None:
         args.num_inference_steps = 50 if args.model == "dev" else 4
@@ -85,8 +89,18 @@ def main():
 
     b = 1
     s_txt = 512
-    pe = jnp.zeros((b, s_txt, cfg.joint_attention_dim), jnp.bfloat16)
-    pool = jnp.zeros((b, cfg.pooled_projection_dim), jnp.bfloat16)
+    # random-normal embeds, not zeros: zero conditioning makes consecutive
+    # first-block residuals nearly identical, so every cached run would hit
+    # (49/50 measured) — a degenerate, unauditable number. T5 embeddings are
+    # approximately unit-scale; seeded normal keeps runs reproducible.
+    pe = jax.random.normal(
+        jax.random.PRNGKey(7), (b, s_txt, cfg.joint_attention_dim), jnp.bfloat16
+    )
+    pool = jax.random.normal(
+        jax.random.PRNGKey(8), (b, cfg.pooled_projection_dim), jnp.bfloat16
+    )
+
+    hits = [None]
 
     def run():
         out = pipe(
@@ -94,8 +108,10 @@ def main():
             height=args.height, width=args.width,
             num_inference_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale, cache=args.cache,
+            cache_hit_ratio=args.cache_hit_ratio,
         )
-        jnp.sum(out.latents.astype(jnp.float32)).block_until_ready()
+        if out.cache_hits is not None:
+            hits[0] = int(out.cache_hits)
         return float(jnp.sum(out.latents.astype(jnp.float32)))
 
     lat = []
@@ -123,12 +139,17 @@ def main():
             lat.append((time.perf_counter() - t0) / 5)
 
     mean = trimmed_mean(lat, args.ignore_ratio)
-    print(json.dumps({
+    rec = {
         "mode": args.mode, "model": args.model, "precision": args.precision,
         "steps": args.num_inference_steps, "cache": args.cache,
         "latency_s": round(mean, 4),
         "samples": [round(x, 4) for x in lat],
-    }))
+    }
+    if args.cache_hit_ratio is not None:
+        rec["forced_hit_ratio"] = args.cache_hit_ratio
+    if hits[0] is not None:
+        rec["cache_hits"] = hits[0]
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
