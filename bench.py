@@ -76,6 +76,12 @@ def _build(tiny: bool, with_encoders: bool = True):
                 heads=64, layers=24, quantized=True,
             )
         vae = AutoencoderKL.random_init(jax.random.PRNGKey(1)) if with_encoders else None
+        if vae is not None:
+            # 512px-tile decode (diffusers enable_vae_tiling): the whole-
+            # image 1024px decode cannot compile/fit beside the resident
+            # transformer + T5 (~14.5 GiB) on a 16 GiB chip; tiled decode
+            # measured 0.35 s steady-state next to a 14 GiB ballast.
+            vae.enable_tiling()
         dims = dict(size=1024, s_txt=512, steps=50, pooled_dim=768)
     pipe = FluxPipeline(model, vae=vae)
     return pipe, t5, cfg, dims
@@ -130,6 +136,10 @@ def main():
 
     dense_step = None if tiny else _dense_step_time(pipe, cfg)
 
+    weights_gib = sum(
+        int(np.prod(a.shape)) * a.dtype.itemsize
+        for _, a in pipe.transformer.named_parameters()
+    ) / 2**30
     rec = {
         "metric": (
             f"FLUX.1-dev {d['size']}px {d['steps']}-step e2e sec/image"
@@ -142,8 +152,10 @@ def main():
         "vs_baseline": round(BASELINE_DEV50_S / cached_sec, 4),
         "cache_hits": hits[0],
         "forced_hit_ratio": 0.5,
-        "peak_hbm_gib": round(peak, 2),
+        "transformer_weights_gib": round(weights_gib, 2),
     }
+    if peak > 0:  # axon tunnel: memory_stats() is None — omit rather than 0
+        rec["peak_hbm_gib"] = round(peak, 2)
     if dense_step is not None:
         rec["dense_step_s"] = round(dense_step, 4)
         rec["dense_s_per_image"] = round(dense_step * 50.0, 3)
@@ -174,12 +186,14 @@ def main_full():
     sec = time.perf_counter() - t0
     stats = jax.devices()[0].memory_stats() or {}
     peak = stats.get("peak_bytes_in_use", 0) / 2**30
-    print(json.dumps({
+    rec = {
         "metric": "FLUX.1-dev 1024px 50-step e2e sec/image (T5 + transformer + VAE, int8-MXU, 1 chip)",
         "value": round(sec, 3), "unit": "s/image",
         "vs_baseline": round(BASELINE_DEV50_S / sec, 4),
-        "peak_hbm_gib": round(peak, 2),
-    }))
+    }
+    if peak > 0:
+        rec["peak_hbm_gib"] = round(peak, 2)
+    print(json.dumps(rec))
 
 
 def main_dense():

@@ -108,12 +108,27 @@ class AttnBlock(Module):
         q = self.q(hn).reshape(b, c, h * w)
         k = self.k(hn).reshape(b, c, h * w)
         v = self.v(hn).reshape(b, c, h * w)
-        attn = jax.nn.softmax(
-            jnp.einsum("bcq,bck->bqk", q.astype(jnp.float32), k.astype(jnp.float32))
-            / math.sqrt(c),
-            axis=-1,
-        )
-        o = jnp.einsum("bqk,bck->bcq", attn, v.astype(jnp.float32))
+        if c % 128 == 0 and h * w >= 1024:
+            # Flash path: at 1024px the decoder's mid block attends over
+            # 128x128 = 16384 tokens — the naive (S, S) f32 score matrix is
+            # 1 GiB and OOMs beside the resident transformer weights. The
+            # single spatial head maps to the flash kernel with D = c (512,
+            # a lane multiple); online softmax keeps exactness for arbitrary
+            # logit ranges.
+            from ..ops.attention import flash_attention
+
+            qh = jnp.swapaxes(q, 1, 2)[:, None].astype(jnp.bfloat16)
+            kh = jnp.swapaxes(k, 1, 2)[:, None].astype(jnp.bfloat16)
+            vh = jnp.swapaxes(v, 1, 2)[:, None].astype(jnp.bfloat16)
+            o = flash_attention(qh, kh, vh, scale=1.0 / math.sqrt(c))
+            o = jnp.swapaxes(o[:, 0], 1, 2)  # (b, c, hw)
+        else:
+            attn = jax.nn.softmax(
+                jnp.einsum("bcq,bck->bqk", q.astype(jnp.float32), k.astype(jnp.float32))
+                / math.sqrt(c),
+                axis=-1,
+            )
+            o = jnp.einsum("bqk,bck->bcq", attn, v.astype(jnp.float32))
         o = self.out(o.reshape(b, c, h, w).astype(x.dtype))
         return (x.astype(jnp.float32) + o.astype(jnp.float32)).astype(x.dtype)
 
@@ -153,6 +168,11 @@ class AutoencoderKL(Module):
         self.shift_factor = shift_factor
         self.decoder = decoder
         self.encoder = encoder
+        # spatial tiling (diffusers enable_vae_tiling, used by the
+        # reference's low-VRAM demos): decode in 64-latent (512px) tiles
+        # with 25% overlap + linear blending. None = whole-image decode.
+        self.tile_latent_size = None
+        self.tile_overlap = 0.25
 
     @classmethod
     def random_init(
@@ -165,8 +185,77 @@ class AutoencoderKL(Module):
         return cls(scaling_factor=scaling_factor, shift_factor=shift_factor,
                    decoder=dec, encoder=enc)
 
+    def enable_tiling(self, tile_latent_size: int = 64, overlap: float = 0.25):
+        """Decode in overlapping spatial tiles (diffusers enable_vae_tiling).
+
+        Caps decoder activation peak at the tile footprint — at 1024px the
+        whole-image decode peaks ~1.5 GiB of f32 conv temps, which does not
+        fit beside a resident 12 GiB int8 transformer + T5-XXL on a 16 GiB
+        chip. 64-latent tiles (512px out) keep the peak under 400 MiB."""
+        self.tile_latent_size = tile_latent_size
+        self.tile_overlap = overlap
+
+    def disable_tiling(self):
+        self.tile_latent_size = None
+
     def decode(self, z: jnp.ndarray) -> jnp.ndarray:
         """(B, C_lat, h, w) scaled latents -> (B, H, W, 3) f32 in [0, 1]."""
+        ts = self.tile_latent_size
+        if ts is not None and (z.shape[2] > ts or z.shape[3] > ts):
+            return self._decode_tiled(z)
+        return _decode_jit(self, z)
+
+    def _decode_tiled(self, z: jnp.ndarray) -> jnp.ndarray:
+        """diffusers AutoencoderKL.tiled_decode: overlapping latent tiles,
+        linear cross-fade over the overlap, equal-size tiles everywhere (the
+        last row/col tile is taken flush against the edge so every tile
+        decode compiles once)."""
+        b, c, h, w = z.shape
+        ts = self.tile_latent_size
+        f = 8  # spatial upscale factor of the decoder
+        stride = max(int(ts * (1.0 - self.tile_overlap)), 1)
+        blend = (ts - stride) * f  # overlap extent in pixels
+
+        def offsets(extent):
+            if extent <= ts:
+                return [0]
+            offs = list(range(0, extent - ts, stride))
+            offs.append(extent - ts)  # flush last tile, same size
+            return offs
+
+        rows_off = offsets(h)
+        cols_off = offsets(w)
+        out = None
+        wsum = None
+        for i in rows_off:
+            for j in cols_off:
+                tile = jax.lax.dynamic_slice(z, (0, 0, i, j), (b, c, ts, ts))
+                dec = _decode_jit(self, tile)  # (B, ts*f, ts*f, 3)
+                if out is None:
+                    out = jnp.zeros((b, h * f, w * f, 3), jnp.float32)
+                    wsum = jnp.zeros((1, h * f, w * f, 1), jnp.float32)
+                mask = _tile_blend_mask(
+                    ts * f, blend,
+                    top=i > 0, bottom=i != rows_off[-1],
+                    left=j > 0, right=j != cols_off[-1],
+                )
+                out = jax.lax.dynamic_update_slice(
+                    out,
+                    jax.lax.dynamic_slice(
+                        out, (0, i * f, j * f, 0), (b, ts * f, ts * f, 3)
+                    ) + dec * mask,
+                    (0, i * f, j * f, 0),
+                )
+                wsum = jax.lax.dynamic_update_slice(
+                    wsum,
+                    jax.lax.dynamic_slice(
+                        wsum, (0, i * f, j * f, 0), (1, ts * f, ts * f, 1)
+                    ) + mask,
+                    (0, i * f, j * f, 0),
+                )
+        return out / jnp.maximum(wsum, 1e-8)
+
+    def _decode_impl(self, z: jnp.ndarray) -> jnp.ndarray:
         z = z.astype(jnp.bfloat16) / self.scaling_factor + self.shift_factor
         img = self.decoder(z)
         img = img.astype(jnp.float32).transpose(0, 2, 3, 1)
@@ -183,6 +272,36 @@ class AutoencoderKL(Module):
                 key, mean.shape, mean.dtype
             )
         return (z - self.shift_factor) * self.scaling_factor
+
+
+@jax.jit
+def _decode_jit(vae: "AutoencoderKL", z: jnp.ndarray) -> jnp.ndarray:
+    # jitted whole-decode: lets XLA plan/free conv temps (the eager path
+    # holds every intermediate alive through the dispatch stream and OOMs
+    # beside a resident 12 GiB transformer at 1024px)
+    return vae._decode_impl(z)
+
+
+def _tile_blend_mask(size: int, blend: int, *, top, bottom, left, right):
+    """(1, size, size, 1) linear cross-fade weights for one decoded tile.
+
+    Ramps 1/(blend+1)..blend/(blend+1) over the overlap region on each
+    interior edge; complementary tiles sum to ~1 and the mask-sum
+    normalization in _decode_tiled removes the residual."""
+    ramp = (jnp.arange(size, dtype=jnp.float32) + 1.0) / (blend + 1.0)
+    up = jnp.minimum(ramp, 1.0)
+    down = up[::-1]
+    rows = jnp.ones((size,), jnp.float32)
+    if top:
+        rows = rows * up
+    if bottom:
+        rows = rows * down
+    cols = jnp.ones((size,), jnp.float32)
+    if left:
+        cols = cols * up
+    if right:
+        cols = cols * down
+    return (rows[:, None] * cols[None, :])[None, :, :, None]
 
 
 class Decoder(Module):
