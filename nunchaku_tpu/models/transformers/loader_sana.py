@@ -128,10 +128,19 @@ def load_sana_transformer(path, precision: str | None = None) -> SanaTransformer
         )
 
     # PAG blocks may make the stacked pytrees ragged (pag_to_v only on some
-    # layers) — pad missing pag projections with zero-initialized clones
+    # layers) — pad missing pag projections with zero-initialized clones and
+    # record which layers are real (cfg.pag_layers drives the pipeline's
+    # per-layer perturbed-pass selection, the reference's pag_layers)
     if any(blk.attn.pag_to_v is not None for blk in blocks):
         import copy
+        import dataclasses
 
+        cfg = dataclasses.replace(
+            cfg,
+            pag_layers=tuple(
+                i for i, b in enumerate(blocks) if b.attn.pag_to_v is not None
+            ),
+        )
         template = next(b.attn.pag_to_v for b in blocks if b.attn.pag_to_v is not None)
         for blk in blocks:
             if blk.attn.pag_to_v is None:

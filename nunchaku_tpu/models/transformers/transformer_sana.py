@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -48,6 +49,9 @@ class SanaConfig:
     expand_ratio: float = 2.5
     rank: int = 32
     precision: str = "int4"
+    # block indices carrying real pag_to_v weights (reference pag_layers,
+    # SanaModel.h:99); set by the loader, None until a PAG checkpoint loads
+    pag_layers: tuple[int, ...] | None = None
 
     @property
     def dim(self) -> int:
@@ -104,10 +108,19 @@ class SanaLinearAttention(Module):
             if pag else None,
         )
 
-    def __call__(self, x, *, pag: bool = False):
-        if pag and self.pag_to_v is not None:
-            # perturbed path: identity attention (value projection only,
-            # SanaModel.cpp:108-145 forward_pag)
+    def __call__(self, x, *, pag=False, pag_rows=None):
+        """``pag`` may be a python bool or a traced () bool (per-layer flag
+        threaded as scan xs for pag_layers selection); ``pag_rows`` is an
+        optional (B,) bool mask marking the perturbed batch rows (the
+        reference splits the batch by slicing, SanaModel.cpp:108-145
+        forward_pag — here a replicated where-select keeps the scan body
+        uniform across layers)."""
+        want_pag = self.pag_to_v is not None and (
+            not isinstance(pag, bool) or pag
+        )
+        if want_pag and isinstance(pag, bool) and pag_rows is None:
+            # static whole-batch perturbed path: identity attention
+            # (value projection only, SanaModel.cpp:108-145 forward_pag)
             out = self.out_proj(self.pag_to_v(x))
         else:
             qkv = self.qkv_proj(x)
@@ -117,6 +130,13 @@ class SanaLinearAttention(Module):
                 lite_la(qkv, qkv.shape[-1] // 3,
                         sp_axis=getattr(self, "sp_axis", None))
             )
+            if want_pag:
+                ptb = self.out_proj(self.pag_to_v(x))
+                sel = pag if pag_rows is None else jnp.logical_and(pag, pag_rows)
+                sel = jnp.reshape(sel, (-1, 1, 1)) if jnp.ndim(sel) else sel
+                # both operands are pre-psum partials under TP; the mask is
+                # replicated, so selecting before the psum stays exact
+                out = jnp.where(sel, ptb, out)
         if self.tp_axis is not None:  # out_proj is row-parallel
             out = jax.lax.psum(out, self.tp_axis)
         return out
@@ -267,14 +287,16 @@ class SanaTransformerBlock(Module):
             SanaGLUMBConv.random_init(ks[3], dim, cfg.ff_hidden, cfg.rank, cfg.precision),
         )
 
-    def __call__(self, x, cond, temb6, hw, cond_mask=None, pag=False):
+    def __call__(self, x, cond, temb6, hw, cond_mask=None, pag=False,
+                 pag_rows=None):
         # temb6: (B, 6, dim) from the shared AdaLN-single projection
         mods = temb6 + self.scale_shift_table[None].astype(jnp.float32)
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
             mods[:, i][:, None] for i in range(6)
         ]
         norm_x = layer_norm(x) * (1 + scale_msa) + shift_msa
-        attn_out = self.attn(norm_x.astype(jnp.bfloat16), pag=pag)
+        attn_out = self.attn(norm_x.astype(jnp.bfloat16), pag=pag,
+                             pag_rows=pag_rows)
         x = x + gate_msa * attn_out.astype(jnp.float32)
 
         x = x + self.cross_attn(x.astype(jnp.bfloat16), cond, cond_mask).astype(jnp.float32)
@@ -302,8 +324,12 @@ class SanaTransformer2DModel(Module):
     def random_init(cls, key, cfg: SanaConfig):
         ks = jax.random.split(key, 7)
         dim = cfg.dim
+        # when PAG layers are configured, every block gets a pag_to_v leaf so
+        # the stacked pytree stays rectangular (the loader zero-pads the
+        # same way); per-layer selection happens at call time via pag_layers
         blocks = stack_modules(
-            [SanaTransformerBlock.random_init(k, cfg)
+            [SanaTransformerBlock.random_init(k, cfg,
+                                              pag=cfg.pag_layers is not None)
              for k in jax.random.split(ks[0], cfg.num_layers)]
         )
         return cls(
@@ -334,7 +360,11 @@ class SanaTransformer2DModel(Module):
         return x, cond, temb, temb6, side
 
     def run_blocks(self, x, cond, temb6, side, cond_mask=None, pag=False,
-                   start=0, stop=None):
+                   start=0, stop=None, pag_layers=None, pag_rows=None):
+        """``pag_layers``: optional list of block indices (model-global) that
+        run the perturbed path when ``pag`` — the reference's
+        ``pag_layers`` config (SanaModel.cpp:331,358). None = all blocks
+        (when ``pag``). ``pag_rows``: (B,) bool, perturbed batch rows."""
         stop = self.cfg.num_layers if stop is None else stop
         blocks = jax.tree.map(lambda a: a[start:stop], self.blocks)
 
@@ -344,13 +374,29 @@ class SanaTransformer2DModel(Module):
 
         hw = side if isinstance(side, tuple) else (side, side)
 
+        if pag and pag_layers is not None:
+            flags = np.zeros((n,), np.bool_)
+            for l in pag_layers:
+                if start <= l < stop:
+                    flags[l - start] = True
+            pag_xs = jnp.asarray(flags)
+        else:
+            pag_xs = None
+
         def body(carry, layer):
-            block, i = layer
+            block, i, flag = layer
             if pallas_w:
                 block = attach_stacked_weights(block, blocks, i)
-            return block(carry, cond, temb6, hw, cond_mask, pag), None
+            p = pag if flag is None else flag
+            return block(carry, cond, temb6, hw, cond_mask, p, pag_rows), None
 
-        x, _ = jax.lax.scan(body, x, (blocks, jnp.arange(n, dtype=jnp.int32)))
+        idx = jnp.arange(n, dtype=jnp.int32)
+        if pag_xs is None:
+            x, _ = jax.lax.scan(
+                lambda c, l: body(c, (*l, None)), x, (blocks, idx)
+            )
+        else:
+            x, _ = jax.lax.scan(body, x, (blocks, idx, pag_xs))
         return x
 
     def head(self, x, temb):
@@ -362,11 +408,13 @@ class SanaTransformer2DModel(Module):
         return self.proj_out(out.astype(jnp.bfloat16)).astype(jnp.bfloat16)
 
     def __call__(self, hidden_states, encoder_hidden_states, timestep,
-                 cond_mask=None, pag: bool = False):
+                 cond_mask=None, pag: bool = False, pag_layers=None,
+                 pag_rows=None):
         """hidden_states (B, S_img, in_ch) tokens (patch 1 latents),
         encoder_hidden_states (B, S_txt, caption_channels), timestep (B,)."""
         x, cond, temb, temb6, side = self.embed(
             hidden_states, encoder_hidden_states, timestep
         )
-        x = self.run_blocks(x, cond, temb6, side, cond_mask, pag)
+        x = self.run_blocks(x, cond, temb6, side, cond_mask, pag,
+                            pag_layers=pag_layers, pag_rows=pag_rows)
         return self.head(x, temb)

@@ -54,13 +54,15 @@ def make_img_ids(h_tokens: int, w_tokens: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cache_kind", "thresh", "single_thresh", "tea_thresh", "num_steps"),
+    static_argnames=("cache_kind", "thresh", "single_thresh", "tea_thresh",
+                     "num_steps", "tea_model_name"),
     donate_argnums=(1, 2),
 )
 def _denoise_scanned(
     model, lat0, state0, pe, pool, g, cb, csb, img_ids, txt_ids, sig_pairs,
     cond_seq=None, cond_ch=None, force_sched=None,
     *, cache_kind, thresh, single_thresh, tea_thresh, num_steps,
+    tea_model_name="flux",
 ):
     """Entire denoise loop as one device program (stable jit identity —
     per-call closures would retrace + recompile every generation).
@@ -96,6 +98,7 @@ def _denoise_scanned(
             vel, st = teacache_forward(
                 model, st, x, pe, pool, t, img_ids, txt_ids, g,
                 num_steps=num_steps, rel_l1_thresh=tea_thresh,
+                model_name=tea_model_name,
                 controlnet_block_samples=cb,
                 controlnet_single_block_samples=csb,
             )
@@ -214,6 +217,7 @@ class FluxPipeline:
         residual_diff_threshold: float = 0.12,
         single_residual_diff_threshold: float = 0.09,
         teacache_rel_l1_thresh: float = 0.6,
+        teacache_model_name: str = "flux",  # "flux" | "flux-kontext" coefficients
         controlnet_block_samples=None,
         controlnet_single_block_samples=None,
         image: jnp.ndarray | None = None,  # Kontext reference (B, H, W, 3) in [0,1]
@@ -297,6 +301,7 @@ class FluxPipeline:
                 single_thresh=single_residual_diff_threshold,
                 tea_thresh=teacache_rel_l1_thresh,
                 num_steps=num_inference_steps,
+                tea_model_name=teacache_model_name,
             )
         else:
             for i in range(num_inference_steps):

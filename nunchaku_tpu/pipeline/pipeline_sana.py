@@ -67,6 +67,9 @@ class SanaPipeline:
         use_cfg = guidance_scale > 1.0
         if cache not in (None, "fb"):
             raise ValueError(f"SANA supports cache=None or 'fb', got {cache!r}")
+        if cache == "fb" and pag_scale > 0.0:
+            raise ValueError("cache='fb' with PAG is unsupported (as in the "
+                             "reference: cached SANA blocks have no pag path)")
         if cache == "fb" and use_cfg:
             # reference refuses batch>2 for cached SANA CFG (caching/utils.py:93);
             # the cached state here is per-batch so CFG would need two states
@@ -74,9 +77,39 @@ class SanaPipeline:
 
         from ..caching.fbcache import init_sana_fb_state, sana_fb_cached_forward
 
+        use_pag = pag_scale > 0.0
+        pag_layers = getattr(cfg, "pag_layers", None)
+        if use_pag and pag_layers is None:
+            raise ValueError(
+                "pag_scale > 0 needs a PAG checkpoint (pag_to_v projections; "
+                "cfg.pag_layers is set by the loader / SanaConfig)"
+            )
+
         @jax.jit
         def step(m, lat, pe, mask, t, sig, sig_next):
-            if use_cfg:
+            if use_pag:
+                # batch [uncond?, text, text_perturbed] — the reference's
+                # SanaPAGPipeline layout (SanaModel.cpp:108-145 splits the
+                # trailing rows onto the pag_to_v identity path)
+                reps = 3 if use_cfg else 2
+                latN = jnp.concatenate([lat] * reps, axis=0)
+                peN = jnp.concatenate(
+                    ([jnp.zeros_like(pe)] if use_cfg else []) + [pe, pe], axis=0
+                )
+                tN = jnp.concatenate([t] * reps)
+                maskN = None if mask is None else jnp.concatenate([mask] * reps)
+                rows = jnp.arange(reps * b) >= (reps - 1) * b
+                v = m(latN.astype(jnp.bfloat16), peN, tN, cond_mask=maskN,
+                      pag=True, pag_layers=list(pag_layers), pag_rows=rows)
+                parts = jnp.split(v.astype(jnp.float32), reps, axis=0)
+                if use_cfg:
+                    v_unc, v_txt, v_ptb = parts
+                    vel = (v_unc + guidance_scale * (v_txt - v_unc)
+                           + pag_scale * (v_txt - v_ptb))
+                else:
+                    v_txt, v_ptb = parts
+                    vel = v_txt + pag_scale * (v_txt - v_ptb)
+            elif use_cfg:
                 lat2 = jnp.concatenate([lat, lat], axis=0)
                 pe2 = jnp.concatenate([jnp.zeros_like(pe), pe], axis=0)
                 v = m(lat2.astype(jnp.bfloat16), pe2, jnp.concatenate([t, t]),

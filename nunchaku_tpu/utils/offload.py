@@ -45,13 +45,13 @@ class BlockStreamer:
             for i in range(n_layers)
         ]
 
-    def run(self, fn, carry, *args):
-        """carry = fn(block, carry, *args) over all layers, prefetching."""
+    def run(self, fn, carry, *args, start: int = 0):
+        """carry = fn(block, carry, *args) over layers [start, n), prefetching."""
         inflight = {
             i: jax.device_put(self.host_blocks[i], self.device)
-            for i in range(min(self.lookahead, self.n))
+            for i in range(start, min(start + self.lookahead, self.n))
         }
-        for i in range(self.n):
+        for i in range(start, self.n):
             block = inflight.pop(i)
             nxt = i + self.lookahead
             if nxt < self.n:  # async: overlaps with this block's compute
@@ -102,6 +102,92 @@ class OffloadedFluxForward:
         x = jnp.concatenate([txt, img], axis=1)
         x = self.single.run(self._single_fn, x, temb, rot)
         return self._head(m, x[:, s_txt:], temb)
+
+
+class OffloadedCachedFluxForward:
+    """First-block cache composed with CPU offloading (the reference's
+    examples/flux.1-dev-double_cache_offloading.py capability: cache +
+    ``set_offload`` together).
+
+    Dual block 0 — the cache's decision block — stays device-resident; the
+    other 18 dual + 38 single blocks stream from host RAM. On a cache hit
+    the cached residuals replay and NONE of those 56 blocks stream, so a
+    hit saves the weight transfer (the offload bottleneck), not just the
+    compute: with FLUX int8 that is ~6.2 GB of host->HBM traffic per hit.
+    The decision is taken on host (this loop is un-jitted by construction —
+    the streamer issues per-block device calls), mirroring the reference's
+    graph break at the decision point (caching/utils.py:462).
+    """
+
+    def __init__(self, model, lookahead: int = 1,
+                 residual_diff_threshold: float = 0.12):
+        import jax.numpy as jnp
+
+        self.threshold = residual_diff_threshold
+        cfg = model.cfg
+        # decision block stays resident (1/19 of the dual stack)
+        self.block0 = jax.device_put(
+            slice_module(model.transformer_blocks, 0), jax.devices()[0]
+        )
+        self.dual = BlockStreamer(model.transformer_blocks, cfg.num_layers,
+                                  lookahead=lookahead)
+        self.single = BlockStreamer(model.single_transformer_blocks,
+                                    cfg.num_single_layers, lookahead=lookahead)
+        self.model = jax.tree_util.tree_map(lambda x: x, model)
+        self.model.transformer_blocks = None
+        self.model.single_transformer_blocks = None
+        self.model.refresh_pytree()
+
+        self._dual_fn = jax.jit(lambda blk, c, temb, rot: blk(c[0], c[1], temb, rot))
+        self._single_fn = jax.jit(lambda blk, c, temb, rot: blk(c, temb, rot))
+        self._embed = jax.jit(lambda m, *a: m.embed(*a))
+        self._head = jax.jit(lambda m, img, temb: m.head(img, temb))
+        self._rel = jax.jit(
+            lambda a, b: jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+            / (jnp.mean(jnp.abs(b.astype(jnp.float32))) + 1e-8)
+        )
+        self._prev_first = None  # bf16 (B, S_img, D)
+        self._cached = None  # (dual_img, dual_txt, single) residuals
+        self.hits = 0
+        self.steps = 0
+
+    def __call__(self, hidden_states, encoder_hidden_states, pooled_projections,
+                 timestep, img_ids, txt_ids, guidance=None):
+        import jax.numpy as jnp
+
+        m = self.model
+        img0, txt0, temb, rot = self._embed(
+            m, hidden_states, encoder_hidden_states, pooled_projections,
+            timestep, img_ids, txt_ids, guidance,
+        )
+        s_txt = txt0.shape[1]
+        img1, txt1 = self._dual_fn(self.block0, (img0, txt0), temb, rot)
+        first_res = (img1 - img0).astype(jnp.bfloat16)
+
+        hit = (
+            self._prev_first is not None
+            and float(self._rel(first_res, self._prev_first)) < self.threshold
+        )
+        self.steps += 1
+        if hit:
+            self.hits += 1
+            d_img, d_txt, d_single = self._cached
+            img_f = img1 + d_img
+            txt_f = txt1 + d_txt
+            x_f = jnp.concatenate([txt_f, img_f], axis=1) + d_single
+        else:
+            img_f, txt_f = self.dual.run(
+                self._dual_fn, (img1, txt1), temb, rot, start=1
+            )
+            x1 = jnp.concatenate([txt_f, img_f], axis=1)
+            x_f = self.single.run(self._single_fn, x1, temb, rot)
+            self._cached = (
+                (img_f - img1).astype(jnp.bfloat16),
+                (txt_f - txt1).astype(jnp.bfloat16),
+                (x_f - x1).astype(jnp.bfloat16),
+            )
+        self._prev_first = first_res
+        return self._head(m, x_f[:, s_txt:], temb)
 
 
 class OffloadedQwenImageForward:

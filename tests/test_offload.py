@@ -56,3 +56,46 @@ def test_offloaded_qwen_matches_resident():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
     )
+
+
+def test_offloaded_cached_matches_fb_cache():
+    """Cache+offload combo: a miss equals the resident forward; a replayed
+    hit equals the jitted fb_cached_forward hit semantics (block-0 output +
+    cached residuals)."""
+    from nunchaku_tpu.utils.offload import OffloadedCachedFluxForward
+
+    cfg = FluxConfig(
+        num_layers=2, num_single_layers=2, num_attention_heads=2,
+        joint_attention_dim=512, pooled_projection_dim=256,
+    )
+    model = FluxTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+    args = (
+        jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(2), (1, 32, 512), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(3), (1, 256), jnp.bfloat16),
+        jnp.array([0.5], jnp.float32),
+        jnp.zeros((64, 3), jnp.int32),
+        jnp.zeros((32, 3), jnp.int32),
+        jnp.array([3.5], jnp.float32),
+    )
+    ref = jax.jit(lambda m, *a: m(*a))(model, *args)
+
+    off = OffloadedCachedFluxForward(model, residual_diff_threshold=1e9)
+    out0 = off(*args)  # step 0: cache empty -> miss -> full forward
+    assert off.hits == 0
+    np.testing.assert_allclose(
+        np.asarray(out0, np.float32), np.asarray(ref, np.float32), atol=2e-2
+    )
+
+    out1 = off(*args)  # identical input, huge threshold -> forced hit
+    assert off.hits == 1
+    # identical inputs => block-0 output and residuals match step 0: the
+    # replayed output equals the full forward up to bf16 residual rounding
+    np.testing.assert_allclose(
+        np.asarray(out1, np.float32), np.asarray(ref, np.float32), atol=5e-2
+    )
+
+    off_strict = OffloadedCachedFluxForward(model, residual_diff_threshold=-1.0)
+    off_strict(*args)
+    off_strict(*args)  # negative threshold -> never similar -> always miss
+    assert off_strict.hits == 0

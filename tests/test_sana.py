@@ -263,3 +263,65 @@ def test_sana_pipeline_with_dcae_and_gemma():
     # pipeline treats vae stride as 32 regardless; just check finiteness
     assert out.images is not None
     assert bool(jnp.isfinite(out.images).all())
+
+
+def test_sana_pag_layer_selection(tmp_path):
+    """pag_layers call-time selection: perturbing only layer 1 (traced
+    per-layer flags + per-row mask) equals the whole-model static pag pass
+    when layer 1 is the only real PAG layer (layer 0's pag_to_v is the
+    loader's zero pad — identical outputs prove zero-padded layers never
+    leak into the perturbed path); and cfg.pag_layers records the subset."""
+    from nunchaku_tpu.models.transformers.loader_sana import load_sana_transformer
+
+    path = _build_sana_ckpt(tmp_path, pag_layers=(1,))
+    model = load_sana_transformer(path)
+    assert model.cfg.pag_layers == (1,)
+    B, S_img, S_txt = 2, 256, 64
+    args = (
+        jax.random.normal(jax.random.PRNGKey(1), (B, S_img, 32), jnp.bfloat16),
+        jax.random.normal(jax.random.PRNGKey(2), (B, S_txt, 1152), jnp.bfloat16),
+        jnp.full((B,), 0.5, jnp.float32),
+    )
+    # static whole-batch pag (zero-pad on layer 0 yields out=out_proj(0)=0
+    # contribution there — NOT the same as no-pag on layer 0)
+    rows_all = jnp.ones((B,), bool)
+    sel = np.asarray(
+        jax.jit(lambda m, *a: m(*a, pag=True, pag_layers=[1],
+                                pag_rows=rows_all))(model, *args),
+        np.float32,
+    )
+    base = np.asarray(jax.jit(lambda m, *a: m(*a))(model, *args), np.float32)
+    assert np.linalg.norm(base - sel) / np.linalg.norm(base) > 1e-3
+
+    # per-row mask: row 0 normal, row 1 perturbed — row 0 must equal base
+    rows = jnp.asarray([False, True])
+    mixed = np.asarray(
+        jax.jit(lambda m, *a: m(*a, pag=True, pag_layers=[1],
+                                pag_rows=rows))(model, *args),
+        np.float32,
+    )
+    np.testing.assert_allclose(mixed[0], base[0], atol=2e-2)
+    assert np.linalg.norm(mixed[1] - base[1]) / np.linalg.norm(base[1]) > 1e-3
+    np.testing.assert_allclose(mixed[1], sel[1], atol=2e-2)
+
+
+def test_sana_pipeline_pag():
+    """pag_scale>0 drives the 3-branch PAG combine and changes the output
+    relative to plain CFG."""
+    from nunchaku_tpu.pipeline.pipeline_sana import SanaPipeline
+    from nunchaku_tpu.models.transformers.transformer_sana import (
+        SanaConfig, SanaTransformer2DModel,
+    )
+
+    cfg = SanaConfig(num_layers=2, num_attention_heads=16,
+                     num_cross_attention_heads=2, caption_channels=256,
+                     rank=8, pag_layers=(1,))
+    model = SanaTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+    pe = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 256), jnp.bfloat16)
+
+    pipe = SanaPipeline(model)
+    kw = dict(prompt_embeds=pe, height=128, width=128,
+              num_inference_steps=2, guidance_scale=4.5, seed=0)
+    plain = np.asarray(pipe(**kw).latents, np.float32)
+    pag = np.asarray(pipe(**kw, pag_scale=2.0).latents, np.float32)
+    assert np.linalg.norm(plain - pag) / np.linalg.norm(plain) > 1e-4
