@@ -89,31 +89,91 @@ def compute_similarity(dir1, dir2):
     return out
 
 
-def compute_quality(gen_dir):
-    """FID / ImageReward / CLIP-IQA — env-gated on local scorer weights."""
+def _load_prompts(path):
+    """Prompt list/dict aligned with image stems (tools/evaluate.py layout:
+    images named by prompt index, or a {stem: prompt} JSON)."""
+    data = json.load(open(path))
+    if isinstance(data, dict):
+        return {str(k): (v["prompt"] if isinstance(v, dict) else str(v))
+                for k, v in data.items()}
+    return {f"{i:05d}": (p if isinstance(p, str) else p["prompt"])
+            for i, p in enumerate(data)}
+
+
+def compute_quality(gen_dir, ref_dir=None, prompts_path=None):
+    """FID / ImageReward / CLIP-IQA / CLIPScore — env-gated on LOCAL scorer
+    weights (reference tier: app/flux.1/t2i/get_metrics.py:26-60)."""
+    from nunchaku_tpu.metrics.clip_iqa import compute_clip_iqa, compute_clip_score
+    from nunchaku_tpu.metrics.fid import compute_fid
+    from nunchaku_tpu.metrics.image_reward import compute_image_reward
+
+    gen = load_images(gen_dir)
+    keys = sorted(gen)
+    stack = np.stack([gen[k] for k in keys]) if keys else None
     out = {}
-    if os.environ.get("NUNCHAKU_TPU_INCEPTION"):
-        out["fid"] = "TODO: inception statistics vs reference dataset"
+
+    if stack is None:
+        return {"error": f"no images in {gen_dir}"}
+
+    if ref_dir:
+        ref = load_images(ref_dir)
+        rstack = np.stack([ref[k] for k in sorted(ref)]) if ref else None
     else:
-        out["fid"] = "skipped (set NUNCHAKU_TPU_INCEPTION to an InceptionV3 checkpoint)"
-    if os.environ.get("NUNCHAKU_TPU_IMAGE_REWARD"):
-        out["image_reward"] = "TODO: ImageReward scorer"
+        rstack = None
+    fid = compute_fid(stack, rstack) if rstack is not None else None
+    out["fid"] = (
+        fid if fid is not None else
+        "skipped (set NUNCHAKU_TPU_INCEPTION to a TorchScript InceptionV3"
+        " and pass a reference folder)"
+    )
+
+    iqa = compute_clip_iqa(stack)
+    out["clip_iqa"] = (
+        iqa if iqa is not None else
+        "skipped (set NUNCHAKU_TPU_CLIP_DIR to a local CLIP checkout)"
+    )
+
+    if prompts_path:
+        prompts = _load_prompts(prompts_path)
+        aligned = [(gen[k], prompts[k]) for k in keys if k in prompts]
+        if aligned:
+            imgs = np.stack([a for a, _ in aligned])
+            txts = [t for _, t in aligned]
+            cs = compute_clip_score(imgs, txts)
+            out["clip_score"] = cs if cs is not None else "skipped (CLIP dir)"
+            ir = compute_image_reward(imgs, txts)
+            out["image_reward"] = (
+                ir if ir is not None else
+                "skipped (set NUNCHAKU_TPU_IMAGE_REWARD[_REPO])"
+            )
+        else:
+            out["clip_score"] = out["image_reward"] = (
+                "skipped (no prompt/image stem overlap)"
+            )
     else:
-        out["image_reward"] = "skipped (set NUNCHAKU_TPU_IMAGE_REWARD)"
+        out["clip_score"] = out["image_reward"] = "skipped (pass --prompts)"
     return out
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("input_roots", nargs="+",
-                   help="1 folder: quality metrics; 2 folders: similarity")
+                   help="1 folder: quality metrics; 2 folders: similarity "
+                        "(+ FID between them)")
     p.add_argument("-o", "--output-path", default="metrics.json")
+    p.add_argument("--prompts", default=None,
+                   help="prompt JSON aligned with image stems (enables "
+                        "CLIPScore / ImageReward)")
     args = p.parse_args()
 
     results = {}
     if len(args.input_roots) == 2:
         results["similarity"] = compute_similarity(*args.input_roots)
-    results["quality"] = compute_quality(args.input_roots[0])
+    results["quality"] = compute_quality(
+        args.input_roots[0],
+        ref_dir=args.input_roots[1] if len(args.input_roots) == 2 else None,
+        prompts_path=args.prompts,
+    )
 
     print(json.dumps(results, indent=2))
     with open(args.output_path, "w") as f:
