@@ -512,9 +512,16 @@ def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None):
     """
     lead = x.shape[:-1]
     m = math.prod(lead)
+    # B>1: batched (B, S, ·) operands end to end — flattening next to the
+    # Pallas chain custom calls forces XLA layout copies at B>1
+    # (tools/bench_batch.py); the ops vmap the 2D kernels internally
+    bat = x.ndim == 3 and x.shape[0] > 1
     if _can_chain(fc1, fc2, m):
+        s_in = x.shape[1] if bat else None
         if pre_quant is not None:
             qact, asc, la = pre_quant
+            bat = qact.ndim == 3
+            s_in = qact.shape[1] if bat else None
         elif mod is not None:
             # fused LN+modulate+quantize producer: x is the RAW stream
             from ..ops.quantize import ln_mod_quant_int8
@@ -526,8 +533,10 @@ def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None):
             )
             qact, asc, la = ln_mod_quant_int8(
                 x.astype(jnp.bfloat16), mod[0], mod[1], fc1.smooth,
-                fc1.proj_down, bm=bm,
+                fc1.proj_down, bm=bm, flatten=not bat,
             )
+        elif bat:
+            qact, asc, la = jax.vmap(fc1.quantize)(x)
         else:
             x2d = x.reshape(m, x.shape[-1])
             qact, asc, la = fc1.quantize(x2d)
@@ -555,6 +564,8 @@ def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None):
                 qout, qs, w8_2, fc2.wscales, la2, fc2.proj_up, fc2.bias,
                 precision="int8",
             )
+            if bat:
+                return out[:, :s_in] if out.shape[1] != s_in else out
             return out[:m].reshape(*lead, out.shape[-1])
         qout, qs, la2 = svdq_gemm_w8a8_gelu_quant(
             qact, asc, fc1.qweight if fc1_qw is None else fc1_qw,
@@ -563,6 +574,8 @@ def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None):
             gelu_shift=GELU_SHIFT, layer_idx=idx,
         )
         out = fc2.forward_quant(qout, qs, la2, qweight=fc2_qw, layer_idx=idx)
+        if bat:
+            return out[:, :s_in] if out.shape[1] != s_in else out
         return out[:m].reshape(*lead, out.shape[-1])
     if mod is not None:
         from .normalization import layer_norm

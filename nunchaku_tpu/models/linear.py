@@ -302,14 +302,17 @@ class SVDQW4A4Linear(Module):
         ):
             from ..ops.quantize import ln_mod_quant_int8
 
+            # B>1: keep (B, S, ·) through producer + GEMM — flattening a
+            # Pallas result at B>1 forces XLA layout copies (bench_batch.py)
+            flat = b == 1
             q, asc, la = ln_mod_quant_int8(
                 x.astype(jnp.bfloat16), scale, shift, self.smooth,
-                self.proj_down, bm=bm,
+                self.proj_down, bm=bm, flatten=flat,
             )
             out = self.forward_quant(q, asc, la)
             if self.logical_out < out.shape[-1]:
-                out = out[:, : self.logical_out]
-            return out.reshape(b, s, -1)
+                out = out[..., : self.logical_out]
+            return out.reshape(b, s, -1) if flat else out
         from .normalization import layer_norm
 
         y = (
@@ -345,10 +348,22 @@ class SVDQW4A4Linear(Module):
                 return out.reshape(b, s, -1)
         # runtime shapes, not self.in/out_features: under shard_map the
         # arrays are local shards of tensor-parallel weights
-        x2d = x.reshape(m, x.shape[-1])
         kp = self.qweight.shape[0] * (1 if self.precision == "int8" else 2)
         if self.precision == "w4a8":
             kp = self.qweight.shape[0] * 2
+        if x.ndim == 3 and x.shape[0] > 1:
+            # B>1: batched (B, S, ·) end to end — flattening next to the
+            # Pallas custom calls forces XLA layout copies at B>1
+            # (tools/bench_batch.py); quantize vmaps per batch row, the
+            # GEMM consumes the 3D operands natively
+            b, s, k = x.shape
+            if k < kp:
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, kp - k)))
+            out = self.forward_quant(*jax.vmap(self.quantize)(x))
+            if self.logical_out < out.shape[-1]:
+                out = out[..., : self.logical_out]
+            return out[:, :s]
+        x2d = x.reshape(m, x.shape[-1])
         if x2d.shape[-1] < kp:  # odd-dim model: zero-pad input columns
             x2d = jnp.pad(x2d, ((0, 0), (0, kp - x2d.shape[-1])))
         out = self.forward_quant(*self.quantize(x2d))

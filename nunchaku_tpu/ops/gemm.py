@@ -594,21 +594,32 @@ def dequant_w4a8_to_int8(qweight, rescales, layer_idx=None):
 def _gemm_w8a8_xla(qact, ascales, qweight, wscales, lora_act, proj_up, bias,
                    out_dtype):
     """int8 GEMM on XLA's native int8 MXU path (2x bf16 rate at large
-    shapes) with the scale/lora/bias epilogue as one fused consumer."""
-    m = qact.shape[0]
+    shapes) with the scale/lora/bias epilogue as one fused consumer.
+
+    Accepts qact (M, K) with ascales (1, M), or batched (B, S, K) with
+    ascales (B, 1, S) / lora (B, S, R) — the batched form keeps (B, S, ·)
+    shapes through the whole dot+epilogue so no flatten-reshape sits next
+    to neighboring Pallas custom calls (the B>1 layout-copy source)."""
+    batched = qact.ndim == 3
+    cdim = 2 if batched else 1
     d = jax.lax.dot_general(
-        qact, qweight, (((1,), (0,)), ((), ())),
+        qact, qweight, (((cdim,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    out = d.astype(jnp.float32) * ascales.reshape(m, 1).astype(jnp.float32) \
-        * wscales.astype(jnp.float32)
+    if batched:
+        b, s, _ = qact.shape
+        a_s = ascales.reshape(b, s, 1).astype(jnp.float32)
+    else:
+        a_s = ascales.reshape(qact.shape[0], 1).astype(jnp.float32)
+    out = d.astype(jnp.float32) * a_s * wscales.astype(jnp.float32)
     if lora_act is not None:
-        out = out + jnp.dot(
+        out = out + jax.lax.dot_general(
             lora_act.astype(jnp.bfloat16), proj_up.astype(jnp.bfloat16),
+            (((cdim,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     if bias is not None:
-        out = out + bias.reshape(1, -1).astype(jnp.float32)
+        out = out + bias.reshape((1,) * cdim + (-1,)).astype(jnp.float32)
     return out.astype(out_dtype)
 
 
@@ -657,6 +668,21 @@ def svdq_gemm_w8a8_gelu_quant(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if qact.ndim == 3:
+        # batched (B, S, K): vmap the 2D chain — the custom call then takes
+        # the 3D operands natively (no flatten at the boundary; B>1 layout
+        # copies, see svdq_gemm_w4a4's batched path)
+        fn = functools.partial(
+            svdq_gemm_w8a8_gelu_quant,
+            act_unsigned_next=act_unsigned_next, gelu_shift=gelu_shift,
+            bm=bm, bn=bn, bk=bk, pipelined=pipelined, interpret=interpret,
+        )
+        return jax.vmap(
+            lambda q, a, la: fn(q, a, qweight, wscales, la, proj_up, bias,
+                                rsmooth_next, proj_down_next,
+                                layer_idx=layer_idx),
+            in_axes=(0, 0, 0 if lora_act is not None else None),
+        )(qact, ascales, lora_act)
     m, k = qact.shape
     stacked = layer_idx is not None
     n = qweight.shape[2] if stacked else qweight.shape[1]
@@ -925,6 +951,40 @@ def svdq_gemm_w4a4(
     is_int8 = precision == "int8"
     is_w4a8 = precision == "w4a8"
     stacked = layer_idx is not None
+
+    if qact.ndim == 3:
+        # batched (B, S, ·) operands: XLA routes run natively 3D; Pallas
+        # routes vmap the 2D kernel (vmap prepends a batch grid dim, so the
+        # custom call takes the (B, S, K) operand directly — no flatten at
+        # the boundary, which at B>1 forced XLA layout copies around the
+        # call; see tools/bench_batch.py)
+        if is_int8 and not stacked and bm is None and bn is None and bk is None:
+            grouped3 = ascales.ndim == 3 and ascales.shape[1] > 1
+            if not grouped3 and _int8_use_xla(qact.shape[1], qact.shape[2],
+                                              qweight.shape[-1]):
+                return _gemm_w8a8_xla(
+                    qact, ascales, qweight, wscales, lora_act, proj_up,
+                    bias, out_dtype,
+                )
+        if (is_w4a8 and bm is None and bn is None and bk is None
+                and not (ascales.ndim == 3 and ascales.shape[1] > 1)
+                and _w4a8_use_xla(qact.shape[1], qact.shape[2],
+                                  qweight.shape[-1])):
+            w8 = dequant_w4a8_to_int8(qweight, rescales, layer_idx)
+            return _gemm_w8a8_xla(
+                qact, ascales, w8, wscales, lora_act, proj_up, bias,
+                out_dtype,
+            )
+        fn = functools.partial(
+            svdq_gemm_w4a4, precision=precision, act_unsigned=act_unsigned,
+            out_dtype=out_dtype, bm=bm, bn=bn, bk=bk, interpret=interpret,
+        )
+        return jax.vmap(
+            lambda q, a, la: fn(q, a, qweight, wscales, la, proj_up, bias,
+                                rescales, layer_idx=layer_idx),
+            in_axes=(0, 0, 0 if lora_act is not None else None),
+        )(qact, ascales, lora_act)
+
     m = qact.shape[0]
     k = qact.shape[1] * (1 if (is_int8 or is_w4a8) else 2)
     n = qweight.shape[2] if stacked else qweight.shape[1]

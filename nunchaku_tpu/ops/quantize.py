@@ -167,7 +167,7 @@ def _ln_mod_quant_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eps", "bm", "apply_ln", "interpret")
+    jax.jit, static_argnames=("eps", "bm", "apply_ln", "flatten", "interpret")
 )
 def ln_mod_quant_int8(
     x: jnp.ndarray,  # (B, S, K) residual stream
@@ -179,6 +179,7 @@ def ln_mod_quant_int8(
     eps: float = 1e-6,
     bm: int = 512,
     apply_ln: bool = True,
+    flatten: bool = True,
     interpret: bool | None = None,
 ):
     """LN(x) * (1 + scale) + shift, smoothed and int8-quantized, in ONE HBM
@@ -240,6 +241,11 @@ def ln_mod_quant_int8(
         interpret=interpret,
     )(x, mod_scale.reshape(b, 1, k), mod_shift.reshape(b, 1, k),
       rsmooth, proj_down.astype(jnp.bfloat16))
+    if not flatten:
+        # batched consumers keep (B, S, ·): no reshape touches the custom
+        # call's results (the B>1 layout-copy source; svdq_gemm_w4a4's
+        # batched path consumes these shapes directly)
+        return q, sc, la
     m = b * s
     return q.reshape(m, k), sc.reshape(1, m), la.reshape(m, r)
 

@@ -624,3 +624,76 @@ class TestStackedWeightPrefetch:
                 layer_idx=jnp.int32(i),
             )
             np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+class TestBatchedOperands:
+    """Native (B, S, ·) operands: batched results equal per-row 2D results
+    (the 3D path exists so no flatten-reshape sits at the Pallas custom-call
+    boundary at B>1 — the layout-copy source, tools/bench_batch.py)."""
+
+    def _mk(self, precision, b=2, s=256, k=512, n=768, r=16, seed=0):
+        import jax
+        import jax.numpy as jnp
+        from nunchaku_tpu.models.linear import SVDQW4A4Linear
+
+        lin = SVDQW4A4Linear.random_init(
+            jax.random.PRNGKey(seed), k, n, rank=r, precision=precision
+        )
+        x = jax.random.normal(jax.random.PRNGKey(seed + 1), (b, s, k),
+                              jnp.bfloat16)
+        return lin, x
+
+    @pytest.mark.parametrize("precision", ["int8", "w4a8", "int4"])
+    def test_linear_batched_equals_per_row(self, precision):
+        import numpy as np
+
+        lin, x = self._mk(precision)
+        out3 = lin(x)
+        assert out3.shape[:2] == x.shape[:2]
+        rows = [lin(x[i : i + 1])[0] for i in range(x.shape[0])]
+        np.testing.assert_allclose(
+            np.asarray(out3, np.float32),
+            np.stack([np.asarray(r_, np.float32) for r_ in rows]),
+            atol=2e-2, rtol=0,
+        )
+
+    def test_forward_modulated_batched(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        lin, x = self._mk("int8")
+        b, s, k = x.shape
+        scale = jax.random.normal(jax.random.PRNGKey(5), (b, k), jnp.bfloat16)
+        shift = jax.random.normal(jax.random.PRNGKey(6), (b, k), jnp.bfloat16)
+        out3 = lin.forward_modulated(x, scale, shift)
+        rows = [
+            lin.forward_modulated(x[i : i + 1], scale[i : i + 1],
+                                  shift[i : i + 1])[0]
+            for i in range(b)
+        ]
+        np.testing.assert_allclose(
+            np.asarray(out3, np.float32),
+            np.stack([np.asarray(r_, np.float32) for r_ in rows]),
+            atol=2e-2, rtol=0,
+        )
+
+    @pytest.mark.parametrize("precision", ["int8", "w4a8"])
+    def test_gelu_mlp_batched(self, precision):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from nunchaku_tpu.models.attention import FeedForward, gelu_mlp
+
+        ff = FeedForward.random_init(
+            jax.random.PRNGKey(0), 512, mult=2, rank=16, precision=precision
+        )
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 256, 512),
+                              jnp.bfloat16)
+        out3 = gelu_mlp(ff.fc1, ff.fc2, x)
+        rows = [gelu_mlp(ff.fc1, ff.fc2, x[i : i + 1])[0] for i in range(2)]
+        np.testing.assert_allclose(
+            np.asarray(out3, np.float32),
+            np.stack([np.asarray(r_, np.float32) for r_ in rows]),
+            atol=2e-2, rtol=0,
+        )
