@@ -515,7 +515,9 @@ def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None):
     # B>1: batched (B, S, ·) operands end to end — flattening next to the
     # Pallas chain custom calls forces XLA layout copies at B>1
     # (tools/bench_batch.py); the ops vmap the 2D kernels internally
-    bat = x.ndim == 3 and x.shape[0] > 1
+    from .linear import _batched_b1
+
+    bat = x.ndim == 3 and (x.shape[0] > 1 or _batched_b1())
     if _can_chain(fc1, fc2, m):
         s_in = x.shape[1] if bat else None
         if pre_quant is not None:

@@ -35,6 +35,16 @@ PAD_TOKENS = 256  # batch padding quantum (reference pads M to 256, Linear.cpp:4
 PALLAS_QUANT_INT8 = False
 
 
+def _batched_b1() -> bool:
+    """NUNCHAKU_TPU_BATCHED_B1=1: route B=1 through the native-3D operand
+    path too (A/B probe: does the B=1 step also pay flatten-adjacent layout
+    moves at the Pallas boundaries? ~18 ms/step of XLA 'copy' ops sit in
+    the round-2 budget unattributed)."""
+    import os
+
+    return os.environ.get("NUNCHAKU_TPU_BATCHED_B1", "0") == "1"
+
+
 def set_pallas_quant_int8(enabled: bool) -> None:
     global PALLAS_QUANT_INT8
     PALLAS_QUANT_INT8 = bool(enabled)
@@ -304,7 +314,7 @@ class SVDQW4A4Linear(Module):
 
             # B>1: keep (B, S, ·) through producer + GEMM — flattening a
             # Pallas result at B>1 forces XLA layout copies (bench_batch.py)
-            flat = b == 1
+            flat = b == 1 and not _batched_b1()
             q, asc, la = ln_mod_quant_int8(
                 x.astype(jnp.bfloat16), scale, shift, self.smooth,
                 self.proj_down, bm=bm, flatten=flat,
@@ -351,7 +361,7 @@ class SVDQW4A4Linear(Module):
         kp = self.qweight.shape[0] * (1 if self.precision == "int8" else 2)
         if self.precision == "w4a8":
             kp = self.qweight.shape[0] * 2
-        if x.ndim == 3 and x.shape[0] > 1:
+        if x.ndim == 3 and (x.shape[0] > 1 or _batched_b1()):
             # B>1: batched (B, S, ·) end to end — flattening next to the
             # Pallas custom calls forces XLA layout copies at B>1
             # (tools/bench_batch.py); quantize vmaps per batch row, the

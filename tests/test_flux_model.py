@@ -239,3 +239,43 @@ def test_fused_ln_quant_equivalence(precision):
     o = np.asarray(out, np.float32)
     rel = np.abs(r - o).max() / (np.sqrt(np.mean(r**2)) + 1e-9)
     assert rel < 0.05, rel
+
+
+@pytest.mark.parametrize("precision", ["int8", "w4a8"])
+def test_batch2_matches_stacked_b1(precision):
+    """B=2 rides the native (B,S,·) operand path (no flatten at the Pallas
+    boundaries, tools/bench_batch.py) — outputs must equal the two B=1
+    forwards stacked, in the turbo serving config (bf16 streams + fused
+    qkv prologue + GELU_QUANT chain)."""
+    cfg = FluxConfig(
+        num_layers=1, num_single_layers=1, num_attention_heads=2,
+        joint_attention_dim=512, pooled_projection_dim=256,
+        precision=precision,
+    )
+    m = FluxTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+    m.set_stream_dtype(jnp.bfloat16)
+    m.enable_fused_qkv_prep()
+
+    lat = jax.random.normal(jax.random.PRNGKey(1), (2, 256, 64), jnp.bfloat16)
+    txt = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 512), jnp.bfloat16)
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (2, 256), jnp.bfloat16)
+    ii = np.zeros((256, 3), np.int32)
+    ii[:, 1] = np.arange(256) // 16
+    ii[:, 2] = np.arange(256) % 16
+    ii = jnp.asarray(ii)
+    ti = jnp.zeros((128, 3), jnp.int32)
+
+    fwd = jax.jit(lambda mm, l, tx, p, t, g: mm(l, tx, p, t, ii, ti, g))
+    t2 = jnp.array([0.5, 0.5], jnp.float32)
+    g2 = jnp.array([3.5, 3.5], jnp.float32)
+    out2 = fwd(m, lat, txt, pooled, t2, g2)
+    rows = [
+        fwd(m, lat[i : i + 1], txt[i : i + 1], pooled[i : i + 1],
+            t2[i : i + 1], g2[i : i + 1])[0]
+        for i in range(2)
+    ]
+    np.testing.assert_allclose(
+        np.asarray(out2, np.float32),
+        np.stack([np.asarray(r, np.float32) for r in rows]),
+        atol=5e-2,
+    )
