@@ -591,6 +591,48 @@ def dequant_w4a8_to_int8(qweight, rescales, layer_idx=None):
     ).astype(jnp.int8)
 
 
+def _grouped_use_xla() -> bool:
+    """Opt-in (NUNCHAKU_TPU_GROUPED_XLA=1): route the chain consumer's
+    grouped-scale int8 GEMM through per-group XLA int8 dots instead of the
+    Pallas grouped-as kernel. On-chip A/B pending before any default flip."""
+    import os
+
+    return os.environ.get("NUNCHAKU_TPU_GROUPED_XLA", "0") == "1"
+
+
+def _gemm_grouped_xla(qact, ascales, qweight, wscales, lora_act, proj_up,
+                      bias, out_dtype, *, layer_idx=None):
+    """Grouped-act-scale int8 GEMM as XLA: out = sum_g (qact_g @ w_g) *
+    ascale_g — bitwise the same accumulation order as the Pallas grouped-as
+    kernel (one f32 scale-multiply per K group, f32 partial adds)."""
+    if layer_idx is not None:
+        qweight = jax.lax.dynamic_index_in_dim(
+            qweight, layer_idx.reshape(()), 0, keepdims=False
+        )
+    m, k = qact.shape
+    ga = ascales.shape[0]
+    bk = k // ga
+    out = None
+    for g in range(ga):
+        d = jax.lax.dot_general(
+            qact[:, g * bk : (g + 1) * bk],
+            qweight[g * bk : (g + 1) * bk],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        part = d.astype(jnp.float32) * ascales[g].reshape(m, 1).astype(jnp.float32)
+        out = part if out is None else out + part
+    out = out * wscales.astype(jnp.float32)
+    if lora_act is not None:
+        out = out + jnp.dot(
+            lora_act.astype(jnp.bfloat16), proj_up.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    if bias is not None:
+        out = out + bias.reshape(1, -1).astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
 def _gemm_w8a8_xla(qact, ascales, qweight, wscales, lora_act, proj_up, bias,
                    out_dtype):
     """int8 GEMM on XLA's native int8 MXU path (2x bf16 rate at large
@@ -1014,6 +1056,18 @@ def svdq_gemm_w4a4(
             and _int8_use_xla(m, k, n)):
         return _gemm_w8a8_xla(
             qact, ascales, qweight, wscales, lora_act, proj_up, bias, out_dtype
+        )
+
+    if grouped_as and _grouped_use_xla():
+        # chain consumer on XLA: one int8 dot per K scale-group, each
+        # scaled by its (M,) group scale and summed — moves the fc2 GEMM
+        # from the Pallas grouped-as kernel (~230 TF/s) to XLA's int8 dot
+        # (~318 TF/s in-model); the Ga partial (M, N) f32 adds are XLA
+        # fusions (~0.1 ms of extra HBM traffic at FLUX shapes).
+        # Opt-in pending the on-chip A/B (NUNCHAKU_TPU_GROUPED_XLA=1).
+        return _gemm_grouped_xla(
+            qact, ascales, qweight, wscales, lora_act, proj_up, bias,
+            out_dtype, layer_idx=layer_idx,
         )
 
     if (precision in ("int4", "nvfp4") and bm is None and bn is None

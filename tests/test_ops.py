@@ -697,3 +697,33 @@ class TestBatchedOperands:
             np.stack([np.asarray(r_, np.float32) for r_ in rows]),
             atol=2e-2, rtol=0,
         )
+
+
+def test_grouped_xla_consumer_matches_pallas(monkeypatch):
+    """NUNCHAKU_TPU_GROUPED_XLA=1 routes the chain consumer's grouped-scale
+    int8 GEMM through per-group XLA dots — must match the Pallas grouped-as
+    kernel."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nunchaku_tpu.ops.gemm import svdq_gemm_w4a4
+
+    m, k, n, ga, r = 256, 1024, 512, 4, 16
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    qact = jax.random.randint(ks[0], (m, k), -127, 128, jnp.int8)
+    asc = jax.random.uniform(ks[1], (ga, m), jnp.float32, 0.001, 0.02)
+    qw = jax.random.randint(ks[2], (k, n), -127, 128, jnp.int8)
+    ws = jax.random.uniform(ks[3], (1, n), jnp.float32, 0.001, 0.02)
+    la = jax.random.normal(ks[4], (m, r), jnp.float32)
+    pu = jax.random.normal(ks[5], (r, n), jnp.bfloat16) * 0.1
+    bias = jnp.ones((n,), jnp.float32) * 0.3
+
+    monkeypatch.delenv("NUNCHAKU_TPU_GROUPED_XLA", raising=False)
+    ref = svdq_gemm_w4a4(qact, asc, qw, ws, la, pu, bias, precision="int8")
+    monkeypatch.setenv("NUNCHAKU_TPU_GROUPED_XLA", "1")
+    got = svdq_gemm_w4a4(qact, asc, qw, ws, la, pu, bias, precision="int8")
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2, rtol=0,
+    )
