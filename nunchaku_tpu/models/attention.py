@@ -251,7 +251,13 @@ class FluxAttention(Module):
         b, s_img, _ = hidden.shape
         cos, sin = rot
         q_scale = LOG2E / math.sqrt(self.head_dim)
-        if getattr(self, "prep_producer", False):
+        # the Pallas producer's (1, bm, D) column-slice blocks need
+        # D % 128 == 0 on-chip (Mosaic last-dim tiling); smaller heads
+        # silently keep the XLA prep chain
+        use_producer = (
+            getattr(self, "prep_producer", False) and self.head_dim % 128 == 0
+        )
+        if use_producer:
             # head-gridded Pallas producer: writes (B, H, S, D) directly,
             # no XLA transpose/layout copies (ops/attention.py
             # qkv_rope_producer)
@@ -275,7 +281,7 @@ class FluxAttention(Module):
         s_txt = encoder_hidden.shape[1]
         qkv_txt = self.add_qkv_proj(encoder_hidden)
         bm_shared = None
-        if getattr(self, "prep_producer", False):
+        if use_producer:
             bm_shared = next(
                 (c for c in (512, 384, 256, 128)
                  if s_txt % c == 0 and s_img % c == 0),

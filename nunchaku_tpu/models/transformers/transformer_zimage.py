@@ -104,12 +104,23 @@ class ZImageAttention(Module):
         prescale = LOG2E / math.sqrt(self.head_dim)
         if isinstance(rot, tuple):
             # half-split table: weights were permuted (enable_fused_qkv_prep
-            # on the model); run the head-gridded Pallas producer
+            # on the model); run the head-gridded Pallas producer. Heads
+            # with D % 128 != 0 can't tile on Mosaic — same half-split math
+            # as one fused XLA elementwise chain instead.
             cos, sin = rot
-            q, k, v = qkv_rope_producer(
-                qkv, cos, sin, self.norm_q, self.norm_k,
-                heads=heads_local, head_dim=self.head_dim, q_scale=prescale,
-            )
+            if self.head_dim % 128 == 0:
+                q, k, v = qkv_rope_producer(
+                    qkv, cos, sin, self.norm_q, self.norm_k,
+                    heads=heads_local, head_dim=self.head_dim,
+                    q_scale=prescale,
+                )
+            else:
+                from ..attention import _prep_halfsplit
+
+                q, k, v = _prep_halfsplit(
+                    qkv, cos, sin, self.norm_q, self.norm_k,
+                    heads_local, self.head_dim, prescale,
+                )
         else:
             q, k, v = qkv_norm_rope(
                 qkv, self.head_dim, self.norm_q, self.norm_k, rot,

@@ -224,6 +224,15 @@ def qkv_rope_producer(
     hd = heads * head_dim
     if n3 != 3 * hd:
         raise ValueError(f"qkv last dim {n3} != 3*{heads}*{head_dim}")
+    if not interpret and head_dim % 128:
+        # Mosaic tiling: the (1, bm, D) column-slice blocks carry D as the
+        # last dim, which must be a multiple of 128 when != the array's 3HD
+        # (on-chip smoke-tier finding). Models with smaller heads use the
+        # XLA prep chain (_prep_halfsplit) instead of the fused producer.
+        raise ValueError(
+            f"fused qkv producer needs head_dim % 128 == 0 on TPU "
+            f"(got {head_dim}); use the XLA qkv prep path"
+        )
     if bm is None:
         bm = next(
             (c_ for c_ in (1536, 1152, 768, 512, 384, 256, 128) if s % c_ == 0),
@@ -336,9 +345,27 @@ def rope_table_halfsplit(rot: jnp.ndarray):
 FIXED_SHIFT = 16.0
 FIXED_CAP = 116.0
 
+# Schraudolph-style 2^x: construct the f32 exponent bits directly from the
+# argument — bitcast((int)((x + 127 - c) * 2^23)). The linear-in-mantissa
+# approximation has max relative error ~±3% (c = 0.0436 centres it, with
+# truncating conversion absorbed); the flash kernel is VPU-bound on the
+# exp2 chain, and this replaces the polynomial exp2 with ~2 VPU ops.
+# Opt-in (fast_exp2) — quality impact must be bounded by the golden tests
+# before any default flip.
+_SCHRAUDOLPH_BIAS = (127.0 - 0.0436) * 8388608.0
+
+
+def _exp2_fast(x):
+    # clamp keeps the exponent construction in int32 range; 2^-120 is
+    # subnormal-zero in the bf16 cast that follows, so masked NEG_INF
+    # entries still contribute (effectively) nothing
+    xi = (jnp.maximum(x, -120.0) * 8388608.0 + _SCHRAUDOLPH_BIAS)
+    return jax.lax.bitcast_convert_type(xi.astype(jnp.int32), jnp.float32)
+
 
 def _flash_kernel_fixed(
-    q_ref, k_ref, v_ref, *rest, scale: float, kv_len: int
+    q_ref, k_ref, v_ref, *rest, scale: float, kv_len: int,
+    lsum_mxu: bool = False, fast_exp2: bool = False,
 ):
     if len(rest) == 4:  # optional (B, S_kv) additive log2-domain mask
         m_ref, o_ref, l_scr, acc_scr = rest
@@ -373,13 +400,21 @@ def _flash_kernel_fixed(
     # exp2 argument must stay f32: at |arg| ~ SHIFT a bf16 argument only
     # resolves 2^-8 * 2^4 = 0.06, i.e. ~4% error in p. The f32 exp2 result
     # cast to bf16 keeps full relative precision for the PV matmul.
-    p = jnp.exp2(jnp.minimum(s, FIXED_CAP) - FIXED_SHIFT)
-    l_scr[...] += jnp.broadcast_to(
-        jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
-    )
-    acc_scr[...] += jnp.dot(
-        p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
-    )
+    arg = jnp.minimum(s, FIXED_CAP) - FIXED_SHIFT
+    p = _exp2_fast(arg) if fast_exp2 else jnp.exp2(arg)
+    pb = p.astype(jnp.bfloat16)
+    if lsum_mxu:
+        # row-sum on the (otherwise idle-half) MXU: p @ ones gives the
+        # denominator broadcast across all 128 lanes of l_scr. Uses the
+        # same bf16-rounded p as the PV dot, so numerator and denominator
+        # carry consistent weights.
+        ones = jnp.ones((pb.shape[1], 128), jnp.bfloat16)
+        l_scr[...] += jax.lax.dot(pb, ones, preferred_element_type=jnp.float32)
+    else:
+        l_scr[...] += jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
+        )
+    acc_scr[...] += jnp.dot(pb, v, preferred_element_type=jnp.float32)
 
     @pl.when(j == nj - 1)
     def _done():
@@ -427,7 +462,10 @@ def _flash_kernel_fixed_denom(
     @pl.when(j == nj - 1)
     def _done():
         o_ref[0] = (acc_scr[...] / l_scr[...][:, :1]).astype(o_ref.dtype)
-        l_ref[0, :] = l_scr[:, 0]
+        # lane-broadcast (bq, 128) write: a (1, bq) block over the (BH, S)
+        # denom array violates Mosaic's second-to-last-dim tiling (smoke
+        # tier finding); the caller slices lane 0
+        l_ref[0] = l_scr[...]
 
 
 def _flash_kernel_fixed2(
@@ -591,7 +629,8 @@ def _flash_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "bq", "bkv", "out_bshd", "fixed_softmax",
-                     "kv_unroll", "return_denom", "interpret"),
+                     "kv_unroll", "return_denom", "interpret",
+                     "lsum_mxu", "fast_exp2"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -607,6 +646,8 @@ def flash_attention(
     kv_mask: jnp.ndarray | None = None,
     return_denom: bool = False,
     interpret: bool | None = None,
+    lsum_mxu: bool = False,
+    fast_exp2: bool = False,
 ) -> jnp.ndarray:
     """Dense non-causal attention over (B, H, S, D) bf16 tensors.
 
@@ -684,7 +725,10 @@ def flash_attention(
         ]
         kv_blk = 2 * bkv
     elif fixed_softmax:
-        kernel = functools.partial(_flash_kernel_fixed, scale=scale, kv_len=skv)
+        kernel = functools.partial(
+            _flash_kernel_fixed, scale=scale, kv_len=skv,
+            lsum_mxu=lsum_mxu, fast_exp2=fast_exp2,
+        )
         scratch = [
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, d), jnp.float32),
@@ -718,11 +762,19 @@ def flash_attention(
         )
 
     if return_denom:
+        # (BH, S, 128) lane-broadcast denom: (1, bq, 128) blocks satisfy
+        # Mosaic tiling where a (1, bq) block over (BH, S) cannot (the
+        # second-to-last block dim must divide 8 or equal BH). ~0.07 ms of
+        # extra HBM write at FLUX shapes; lane 0 is sliced below.
         out_spec = [
             out_spec,
-            pl.BlockSpec((1, bq), lambda g, i, j: (g, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda g, i, j: (g, i, 0),
+                         memory_space=pltpu.VMEM),
         ]
-        out_shape = [out_shape, jax.ShapeDtypeStruct((bh, sq + pq), jnp.float32)]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((bh, sq + pq, 128), jnp.float32),
+        ]
 
     grid = (bh, (sq + pq) // bq, (skv + pkv) // kv_blk)
     out = pl.pallas_call(
@@ -746,7 +798,7 @@ def flash_attention(
         o, l = out
         return (
             o[:, :sq].reshape(b, h, sq, d),
-            l[:, :sq].reshape(b, h, sq),
+            l[:, :sq, 0].reshape(b, h, sq),
         )
     if out_bshd:
         return out[:, :sq]

@@ -195,6 +195,11 @@ def ln_mod_quant_int8(
     bm = min(bm, s)
     if s % bm:
         raise ValueError(f"S={s} not divisible by bm={bm}")
+    if not interpret and bm != s and bm % 128:
+        # Mosaic tiling: the (1, 1, bm) scales-output block carries bm as
+        # its LAST dim, which must be a multiple of 128 or equal S
+        # (caught by the on-chip smoke tier; interpret mode can't model it)
+        bm = next((c for c in (512, 384, 256, 128) if s % c == 0), s)
     r = proj_down.shape[1]
     if smooth is None:
         rsmooth = jnp.ones((1, k), jnp.float32)
@@ -300,6 +305,11 @@ def ln_mod_quant_int8_dual(
     bm = min(bm, s)
     if s % bm:
         raise ValueError(f"S={s} not divisible by bm={bm}")
+    if not interpret and bm != s and bm % 128:
+        # Mosaic tiling: the (1, 1, bm) scales-output block carries bm as
+        # its LAST dim, which must be a multiple of 128 or equal S
+        # (caught by the on-chip smoke tier; interpret mode can't model it)
+        bm = next((c for c in (512, 384, 256, 128) if s % c == 0), s)
 
     def _rsm(smooth):
         if smooth is None:

@@ -31,6 +31,13 @@ CASES = {
     "fixed-bhsd-bkv4608": dict(fixed_softmax=True, out_bshd=False, bkv=4608),
     "fixed-bhsd-bq1536": dict(fixed_softmax=True, out_bshd=False, bq=1536),
     "online-bhsd-bkv2304": dict(fixed_softmax=False, out_bshd=False, bkv=2304),
+    # VPU-wall experiments: denominator row-sum on the MXU / Schraudolph 2^x
+    "fixed-bshd-lsum-mxu": dict(fixed_softmax=True, out_bshd=True,
+                                lsum_mxu=True),
+    "fixed-bshd-fastexp2": dict(fixed_softmax=True, out_bshd=True,
+                                fast_exp2=True),
+    "fixed-bshd-both": dict(fixed_softmax=True, out_bshd=True,
+                            lsum_mxu=True, fast_exp2=True),
 }
 
 names = sys.argv[1:] or list(CASES)
