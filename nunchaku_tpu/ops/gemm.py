@@ -552,6 +552,8 @@ def _gemm_w4a4_xla(qact, ascales_t, qweight, wscales, lora_act, proj_up,
         a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     if lora_act is not None:
+        if _lora_bf16_epilogue():
+            out = out.astype(jnp.bfloat16).astype(jnp.float32)
         out = out + jnp.dot(
             lora_act.astype(jnp.bfloat16), proj_up.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
@@ -633,6 +635,21 @@ def _gemm_grouped_xla(qact, ascales, qweight, wscales, lora_act, proj_up,
     return out.astype(out_dtype)
 
 
+def _lora_bf16_epilogue() -> bool:
+    """Two XLA dots (main int8 + lora-up) cannot share one fusion: the
+    main dot's (M, N) result materializes in HBM and the lora-dot fusion
+    reads it back. Default ON: the main term materializes as bf16 instead
+    (half the epilogue traffic; on-chip A/B 2026-08-19: int8 step 319.2 ->
+    309.1 ms). The only added rounding is one extra bf16 quantization of
+    the main term before the lora add — the output is bf16 anyway, so the
+    measured model drift is ~0.3% (tests pin < 1%). Set
+    NUNCHAKU_TPU_XLA_LORA_BF16=0 for the exact f32 epilogue (e.g. the
+    Pallas-route bit-equality tests)."""
+    import os
+
+    return os.environ.get("NUNCHAKU_TPU_XLA_LORA_BF16", "1") == "1"
+
+
 def _gemm_w8a8_xla(qact, ascales, qweight, wscales, lora_act, proj_up, bias,
                    out_dtype):
     """int8 GEMM on XLA's native int8 MXU path (2x bf16 rate at large
@@ -655,6 +672,10 @@ def _gemm_w8a8_xla(qact, ascales, qweight, wscales, lora_act, proj_up, bias,
         a_s = ascales.reshape(qact.shape[0], 1).astype(jnp.float32)
     out = d.astype(jnp.float32) * a_s * wscales.astype(jnp.float32)
     if lora_act is not None:
+        if _lora_bf16_epilogue():
+            # materialize the main term bf16: the lora-dot fusion (the
+            # second fusion's hero op) then reads half the bytes back
+            out = out.astype(jnp.bfloat16).astype(jnp.float32)
         out = out + jax.lax.dot_general(
             lora_act.astype(jnp.bfloat16), proj_up.astype(jnp.bfloat16),
             (((cdim,), (0,)), ((), ())),

@@ -153,6 +153,25 @@ class TestFlashAttention:
         err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
         assert err < 0.05, err
 
+    @pytest.mark.parametrize(
+        "kw,tol",
+        [(dict(lsum_mxu=True), 2e-2),
+         (dict(fast_exp2=True), 5e-2),
+         (dict(lsum_mxu=True, fast_exp2=True), 5e-2)],
+    )
+    def test_vpu_wall_variants(self, kw, tol):
+        """Opt-in fixed-softmax variants (MXU row-sum denominator /
+        Schraudolph exp2). Both measured SLOWER on-chip at FLUX shapes
+        (2026-08-19, tools/probe_flash_variants.py) and stay off by
+        default; this pins their numerics so the flags don't rot."""
+        q = jnp.asarray(rng.normal(size=(1, 2, 256, 128)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(1, 2, 256, 128)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(1, 2, 256, 128)), jnp.bfloat16)
+        out = flash_attention(q, k, v, fixed_softmax=True, bq=256, bkv=256, **kw)
+        ref = np.asarray(sdpa_reference(q, k, v), np.float32)
+        rel = np.linalg.norm(np.asarray(out, np.float32) - ref) / np.linalg.norm(ref)
+        assert rel < tol, (kw, rel)
+
 
 class TestBlockSparseAttention:
     """vs masked-dense oracle (reference mha_fwd_block semantics,
@@ -234,10 +253,13 @@ class TestW4A8:
         e4 = float(jnp.linalg.norm(o4 - ref) / jnp.linalg.norm(ref))
         assert e48 <= e4 * 1.05, (e48, e4)
 
-    def test_xla_dequant_equals_pallas(self):
+    def test_xla_dequant_equals_pallas(self, monkeypatch):
         """The default XLA path (dequant_w4a8_to_int8 + int8 dot) must be
         bit-identical to the Pallas hybrid kernel (explicit tiles force it):
-        both compute w8 = clip(round(nibble * rs)) then exact int32 dots."""
+        both compute w8 = clip(round(nibble * rs)) then exact int32 dots.
+        The bf16 lora epilogue (an orthogonal, separately-bounded
+        approximation) is pinned off so the property stays bit-exact."""
+        monkeypatch.setenv("NUNCHAKU_TPU_XLA_LORA_BF16", "0")
         from nunchaku_tpu.core.packing import pack_int4
         from nunchaku_tpu.ops.gemm import svdq_gemm_w4a4
         from nunchaku_tpu.ops.quantize import quantize_w4a4_act_fuse_lora
@@ -324,6 +346,33 @@ class TestW4A8:
         np.testing.assert_array_equal(
             np.asarray(out_w4a8), np.asarray(out_int8)
         )
+
+    def test_lora_bf16_epilogue_drift_bound(self, monkeypatch):
+        """Default-on NUNCHAKU_TPU_XLA_LORA_BF16 (main dot materializes
+        bf16 before the lora-up add — halves the inter-fusion HBM traffic;
+        on-chip −10 ms/step at FLUX 1024px). The added rounding must stay
+        inside the bf16-output envelope: < 1% vs the exact f32 epilogue."""
+        from nunchaku_tpu.ops.gemm import _gemm_w8a8_xla
+
+        rng_ = np.random.default_rng(11)
+        m, k, n, r = 128, 512, 256, 32
+        qact = jnp.asarray(rng_.integers(-127, 128, (m, k)), jnp.int8)
+        asc = jnp.asarray(rng_.uniform(0.5, 2, (m,)) * 0.01, jnp.float32)
+        qw = jnp.asarray(rng_.integers(-127, 128, (k, n)), jnp.int8)
+        wsc = jnp.asarray(rng_.uniform(0.5, 2, (n,)) * 0.01, jnp.float32)
+        la = jnp.asarray(rng_.standard_normal((m, r)), jnp.bfloat16)
+        pu = jnp.asarray(rng_.standard_normal((r, n)), jnp.bfloat16)
+
+        monkeypatch.setenv("NUNCHAKU_TPU_XLA_LORA_BF16", "0")
+        exact = np.asarray(
+            _gemm_w8a8_xla(qact, asc, qw, wsc, la, pu, None, jnp.bfloat16),
+            np.float32)
+        monkeypatch.setenv("NUNCHAKU_TPU_XLA_LORA_BF16", "1")
+        fast = np.asarray(
+            _gemm_w8a8_xla(qact, asc, qw, wsc, la, pu, None, jnp.bfloat16),
+            np.float32)
+        rel = np.linalg.norm(fast - exact) / np.linalg.norm(exact)
+        assert rel < 1e-2, rel
 
 
 class TestGeluQuantChain:

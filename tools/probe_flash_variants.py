@@ -60,13 +60,15 @@ for name in names:
         return acc
 
     try:
+        # value materialization, NOT block_until_ready — the latter does
+        # not synchronize through the axon tunnel (garbage TF/s readings)
         r = run(q, k, v)
-        jax.block_until_ready(r)
+        _ = float(r)
         t0 = time.perf_counter()
         n = 6
         for _ in range(n):
             r = run(q, k, v)
-        jax.block_until_ready(r)
+        _ = float(r)
         dt = (time.perf_counter() - t0) / n
         print(f"{name:24s} {dt/L*1e3:7.3f} ms/attn  {FLOPS/dt/1e12:6.1f} TF/s "
               f"-> x57 = {dt/L*57*1e3:.1f} ms/step", flush=True)
