@@ -223,11 +223,17 @@ def fb_cached_forward(
             return x_f, (x_f - x2).astype(jnp.bfloat16)
 
         x_f, cached_sres = jax.lax.cond(shit, s_hit, s_miss, state)
-        prev_sres = sres
+        # store-on-miss (reference fbcache.py:467-469 set_buffer only in the
+        # miss branch): hits keep comparing against the last MISS's residual,
+        # so sub-threshold drift accumulates and eventually forces a recompute
+        # instead of allowing unbounded hit streaks
+        prev_sres = jnp.where(shit, state.prev_single_residual, sres)
 
     out = model.head(x_f[:, s_txt:], temb)
     new_state = FBCacheState(
-        prev_first_residual=first_res,
+        prev_first_residual=jnp.where(
+            hit, state.prev_first_residual, first_res
+        ),
         cached_dual_residual_img=dual_res_img,
         cached_dual_residual_txt=dual_res_txt,
         prev_single_residual=prev_sres,
@@ -286,8 +292,10 @@ def sana_fb_cached_forward(
 
     def on_hit(st):
         x = x1 + st.cached_rest_residual.astype(jnp.float32)
+        # store-on-miss (reference fbcache.py:467-469): keep comparing
+        # against the last miss's residual so drift can't hit forever
         return x, SanaFBCacheState(
-            first_residual, st.cached_rest_residual,
+            st.prev_first_residual, st.cached_rest_residual,
             jnp.ones((), jnp.bool_), st.hits + 1,
         )
 

@@ -495,6 +495,18 @@ def _w4a8_use_xla(m: int, k: int, n: int) -> bool:
     return os.environ.get("NUNCHAKU_TPU_W4A8_XLA", "1") != "0"
 
 
+def _read_gemm_flags() -> tuple:
+    """Snapshot the route-selection env flags OUTSIDE jit so they become a
+    static part of the jit cache key (an env flip mid-process then actually
+    retraces instead of silently reusing the other route's executable)."""
+    return (
+        _w4a8_use_xla(0, 0, 0),
+        _int4_use_xla(),
+        _grouped_use_xla(),
+        _lora_bf16_epilogue(),
+    )
+
+
 def _int4_use_xla() -> bool:
     """Opt-in (NUNCHAKU_TPU_INT4_XLA=1): route int4/nvfp4 GEMMs through an
     XLA bf16 dequant + bf16 dot instead of the Pallas plane-split kernel.
@@ -520,7 +532,8 @@ def _expand_group_scales(scales, k, axis_len_is_rows: bool):
 
 
 def _gemm_w4a4_xla(qact, ascales_t, qweight, wscales, lora_act, proj_up,
-                   bias, *, precision, act_unsigned, out_dtype, layer_idx):
+                   bias, *, precision, act_unsigned, out_dtype, layer_idx,
+                   lora_bf16=None):
     """int4/nvfp4 GEMM as XLA dequant + bf16 dot (same per-element math as
     the Pallas kernel: values and group scales multiply in bf16, the dot
     accumulates in f32)."""
@@ -552,7 +565,7 @@ def _gemm_w4a4_xla(qact, ascales_t, qweight, wscales, lora_act, proj_up,
         a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     if lora_act is not None:
-        if _lora_bf16_epilogue():
+        if _lora_bf16_epilogue() if lora_bf16 is None else lora_bf16:
             out = out.astype(jnp.bfloat16).astype(jnp.float32)
         out = out + jnp.dot(
             lora_act.astype(jnp.bfloat16), proj_up.astype(jnp.bfloat16),
@@ -651,7 +664,7 @@ def _lora_bf16_epilogue() -> bool:
 
 
 def _gemm_w8a8_xla(qact, ascales, qweight, wscales, lora_act, proj_up, bias,
-                   out_dtype):
+                   out_dtype, lora_bf16=None):
     """int8 GEMM on XLA's native int8 MXU path (2x bf16 rate at large
     shapes) with the scale/lora/bias epilogue as one fused consumer.
 
@@ -672,7 +685,7 @@ def _gemm_w8a8_xla(qact, ascales, qweight, wscales, lora_act, proj_up, bias,
         a_s = ascales.reshape(qact.shape[0], 1).astype(jnp.float32)
     out = d.astype(jnp.float32) * a_s * wscales.astype(jnp.float32)
     if lora_act is not None:
-        if _lora_bf16_epilogue():
+        if _lora_bf16_epilogue() if lora_bf16 is None else lora_bf16:
             # materialize the main term bf16: the lora-dot fusion (the
             # second fusion's hero op) then reads half the bytes back
             out = out.astype(jnp.bfloat16).astype(jnp.float32)
@@ -961,6 +974,38 @@ def _pick_dim(dim, prefs):
     return dim
 
 
+def svdq_gemm_w4a4(
+    qact: jnp.ndarray,
+    ascales: jnp.ndarray,
+    qweight: jnp.ndarray,
+    wscales: jnp.ndarray,
+    lora_act: jnp.ndarray | None = None,
+    proj_up: jnp.ndarray | None = None,
+    bias: jnp.ndarray | None = None,
+    rescales: jnp.ndarray | None = None,
+    *,
+    precision: str = "int4",
+    act_unsigned: bool = False,
+    out_dtype=jnp.bfloat16,
+    bm: int | None = None,
+    bn: int | None = None,
+    bk: int | None = None,
+    layer_idx: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Public entry: snapshots the route-selection env flags outside jit so
+    they key the compiled-executable cache (see :func:`_read_gemm_flags`;
+    an env flip between two same-shape calls retraces instead of silently
+    reusing the first route's executable). See :func:`_svdq_gemm_w4a4` for
+    the layout/semantics contract."""
+    return _svdq_gemm_w4a4(
+        qact, ascales, qweight, wscales, lora_act, proj_up, bias, rescales,
+        precision=precision, act_unsigned=act_unsigned, out_dtype=out_dtype,
+        bm=bm, bn=bn, bk=bk, layer_idx=layer_idx, interpret=interpret,
+        flags=_read_gemm_flags(),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -971,9 +1016,10 @@ def _pick_dim(dim, prefs):
         "bn",
         "bk",
         "interpret",
+        "flags",
     ),
 )
-def svdq_gemm_w4a4(
+def _svdq_gemm_w4a4(
     qact: jnp.ndarray,
     ascales: jnp.ndarray,
     qweight: jnp.ndarray,
@@ -991,6 +1037,7 @@ def svdq_gemm_w4a4(
     bk: int | None = None,
     layer_idx: jnp.ndarray | None = None,
     interpret: bool | None = None,
+    flags: tuple | None = None,
 ) -> jnp.ndarray:
     """Quantized GEMM: ``dequant(qact) @ dequant(qweight) + lora + bias``.
 
@@ -1011,6 +1058,9 @@ def svdq_gemm_w4a4(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"  # tests run interpreted
+    if flags is None:
+        flags = _read_gemm_flags()
+    w4a8_xla, int4_xla, grouped_xla, lora_bf16 = flags
     is_int8 = precision == "int8"
     is_w4a8 = precision == "w4a8"
     stacked = layer_idx is not None
@@ -1021,26 +1071,27 @@ def svdq_gemm_w4a4(
         # custom call takes the (B, S, K) operand directly — no flatten at
         # the boundary, which at B>1 forced XLA layout copies around the
         # call; see tools/bench_batch.py)
+        m3 = qact.shape[0] * qact.shape[1]  # routing sees the flattened M
         if is_int8 and not stacked and bm is None and bn is None and bk is None:
             grouped3 = ascales.ndim == 3 and ascales.shape[1] > 1
-            if not grouped3 and _int8_use_xla(qact.shape[1], qact.shape[2],
+            if not grouped3 and _int8_use_xla(m3, qact.shape[2],
                                               qweight.shape[-1]):
                 return _gemm_w8a8_xla(
                     qact, ascales, qweight, wscales, lora_act, proj_up,
-                    bias, out_dtype,
+                    bias, out_dtype, lora_bf16=lora_bf16,
                 )
         if (is_w4a8 and bm is None and bn is None and bk is None
                 and not (ascales.ndim == 3 and ascales.shape[1] > 1)
-                and _w4a8_use_xla(qact.shape[1], qact.shape[2],
-                                  qweight.shape[-1])):
+                and w4a8_xla):
             w8 = dequant_w4a8_to_int8(qweight, rescales, layer_idx)
             return _gemm_w8a8_xla(
                 qact, ascales, w8, wscales, lora_act, proj_up, bias,
-                out_dtype,
+                out_dtype, lora_bf16=lora_bf16,
             )
         fn = functools.partial(
-            svdq_gemm_w4a4, precision=precision, act_unsigned=act_unsigned,
+            _svdq_gemm_w4a4, precision=precision, act_unsigned=act_unsigned,
             out_dtype=out_dtype, bm=bm, bn=bn, bk=bk, interpret=interpret,
+            flags=flags,
         )
         return jax.vmap(
             lambda q, a, la: fn(q, a, qweight, wscales, la, proj_up, bias,
@@ -1076,10 +1127,11 @@ def svdq_gemm_w4a4(
             and bm is None and bn is None and bk is None
             and _int8_use_xla(m, k, n)):
         return _gemm_w8a8_xla(
-            qact, ascales, qweight, wscales, lora_act, proj_up, bias, out_dtype
+            qact, ascales, qweight, wscales, lora_act, proj_up, bias,
+            out_dtype, lora_bf16=lora_bf16,
         )
 
-    if grouped_as and _grouped_use_xla():
+    if grouped_as and grouped_xla:
         # chain consumer on XLA: one int8 dot per K scale-group, each
         # scaled by its (M,) group scale and summed — moves the fc2 GEMM
         # from the Pallas grouped-as kernel (~230 TF/s) to XLA's int8 dot
@@ -1094,21 +1146,24 @@ def svdq_gemm_w4a4(
         )
 
     if (precision in ("int4", "nvfp4") and bm is None and bn is None
-            and bk is None and _int4_use_xla()):
+            and bk is None and int4_xla):
         return _gemm_w4a4_xla(
             qact, ascales, qweight, wscales, lora_act, proj_up, bias,
             precision=precision, act_unsigned=act_unsigned,
-            out_dtype=out_dtype, layer_idx=layer_idx,
+            out_dtype=out_dtype, layer_idx=layer_idx, lora_bf16=lora_bf16,
         )
 
-    if (is_w4a8 and bm is None and bn is None and bk is None
-            and _w4a8_use_xla(m, k, n)):
+    if (is_w4a8 and bm is None and bn is None and bk is None and w4a8_xla):
         # standalone w4a8: dequant the layer's int4 weights to int8 in-graph
         # (one HBM-bound fusion) and ride XLA's native int8 dot — int8-turbo
         # compute at 4-bit weight memory; bit-identical to the Pallas hybrid
+        # when no lora branch is present or NUNCHAKU_TPU_XLA_LORA_BF16=0
+        # (the default-on bf16 lora epilogue adds one bf16 rounding of the
+        # main term that the Pallas kernel's f32 epilogue does not)
         w8 = dequant_w4a8_to_int8(qweight, rescales, layer_idx)
         return _gemm_w8a8_xla(
-            qact, ascales, w8, wscales, lora_act, proj_up, bias, out_dtype
+            qact, ascales, w8, wscales, lora_act, proj_up, bias, out_dtype,
+            lora_bf16=lora_bf16,
         )
 
     if is_int8 and bm is None and bn is None and bk is None:

@@ -186,7 +186,10 @@ class OffloadedCachedFluxForward:
                 (txt_f - txt1).astype(jnp.bfloat16),
                 (x_f - x1).astype(jnp.bfloat16),
             )
-        self._prev_first = first_res
+            # store-on-miss (reference caching/fbcache.py:467-469 sets the
+            # buffer only in the miss branch): hits keep comparing against
+            # the last miss's residual, bounding sub-threshold drift streaks
+            self._prev_first = first_res
         return self._head(m, x_f[:, s_txt:], temb)
 
 
