@@ -113,6 +113,8 @@ def fb_cached_forward(
     controlnet_block_samples=None,
     controlnet_single_block_samples=None,
     force=None,  # () int32: <0 threshold decision, 0 force miss, 1 force hit
+    ip_kv=None,  # (k_ip, v_ip) stacked (L, B, S_ip, inner) IP-Adapter xs
+    ip_scale: float = 1.0,
 ):
     """One cached transformer step. Returns (velocity, new_state).
 
@@ -123,6 +125,11 @@ def fb_cached_forward(
     supports cache x controlnet, tests/flux/test_flux_txt2img_cache_controlnet
     .py); on a hit the cached residual already contains the conditioning from
     the step it was computed at, matching the reference's replay semantics.
+    ``ip_kv`` composes IP-Adapter the same way: the reference's
+    IPA_TransformerBlocks *extends* the cached blocks
+    (nunchaku/models/ip_adapter/utils.py:25-491), so every computed dual
+    block gets its per-layer image cross-attention and hits replay residuals
+    that already carry the conditioning.
     """
     cb, csb = controlnet_block_samples, controlnet_single_block_samples
     img0, txt0, temb, rot = model.embed(
@@ -131,9 +138,10 @@ def fb_cached_forward(
     )
     s_txt = txt0.shape[1]
 
-    # always run dual block 0 (with its controlnet residual, if any)
+    # always run dual block 0 (with its controlnet/IPA conditioning, if any)
     img1, txt1 = model.run_dual(
-        img0, txt0, temb, rot, start=0, stop=1, controlnet_block_samples=cb
+        img0, txt0, temb, rot, start=0, stop=1, controlnet_block_samples=cb,
+        ip_kv=ip_kv, ip_scale=ip_scale,
     )
     first_res = (img1 - img0).astype(jnp.bfloat16)
     hit = jnp.logical_and(
@@ -161,7 +169,8 @@ def fb_cached_forward(
             # (slices of scan xs are copied, not aliased). One redundant
             # dual block (~2% of a miss step) buys back that entire buffer.
             img_f, txt_f = model.run_dual(
-                img0, txt0, temb, rot, start=0, controlnet_block_samples=cb
+                img0, txt0, temb, rot, start=0, controlnet_block_samples=cb,
+                ip_kv=ip_kv, ip_scale=ip_scale,
             )
             x1 = jnp.concatenate([txt_f, img_f], axis=1)
             x_f = model.run_singles(
@@ -187,7 +196,8 @@ def fb_cached_forward(
             # start=0: recompute block 0 instead of slicing the weight stack
             # (see the single-level on_miss comment — slice = 5.9 GiB temp)
             img_f, txt_f = model.run_dual(
-                img0, txt0, temb, rot, start=0, controlnet_block_samples=cb
+                img0, txt0, temb, rot, start=0, controlnet_block_samples=cb,
+                ip_kv=ip_kv, ip_scale=ip_scale,
             )
             return (img_f, txt_f, (img_f - img1).astype(jnp.bfloat16),
                     (txt_f - txt1).astype(jnp.bfloat16))

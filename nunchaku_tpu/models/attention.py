@@ -257,6 +257,16 @@ class FluxAttention(Module):
         use_producer = (
             getattr(self, "prep_producer", False) and self.head_dim % 128 == 0
         )
+        if getattr(self, "prep_producer", False) and not use_producer:
+            from ..utils.warn import warn_once
+
+            warn_once(
+                "qkv_producer_head_dim",
+                f"fused qkv/rope producer requested but head_dim="
+                f"{self.head_dim} is not a multiple of 128 (Mosaic last-dim"
+                " tiling); falling back to the XLA half-split prep chain"
+                " (~28 ms/step slower at FLUX 1024px shapes)",
+            )
         if use_producer:
             # head-gridded Pallas producer: writes (B, H, S, D) directly,
             # no XLA transpose/layout copies (ops/attention.py
@@ -303,6 +313,15 @@ class FluxAttention(Module):
                 bm=bm_shared, alias_outs=(q, k, v),
             )
         else:
+            if use_producer:
+                from ..utils.warn import warn_once
+
+                warn_once(
+                    "qkv_producer_bm",
+                    f"fused qkv/rope producer: no shared S-tile divides both"
+                    f" s_txt={s_txt} and s_img={s_img}; falling back to the"
+                    " XLA half-split prep + S-axis concat",
+                )
             q_i, k_i, v_i = prep(
                 qkv, cos[s_txt:], sin[s_txt:], self.norm_q, self.norm_k
             )
@@ -491,9 +510,12 @@ def _can_chain(fc1, fc2, m: int) -> bool:
     # 1024px — the bf16 intermediate's HBM round trip dominates the
     # kernel-vs-XLA dot-rate difference. w4a8 rides the same int8 chain
     # with its weights dequantized in-graph (ops/gemm.dequant_w4a8_to_int8).
+    from ..ops.gemm import _w4a8_fused
+
     p1 = getattr(fc1, "precision", None)
     return (
-        (p1 == "int8" or (p1 == "w4a8" and _w4a8_use_xla(m, 0, 0)))
+        (p1 == "int8"
+         or (p1 == "w4a8" and (_w4a8_fused() or _w4a8_use_xla(m, 0, 0))))
         and getattr(fc2, "precision", None) == p1
         and fc1.logical_out == fc1.out_features
         and fc2.logical_out == fc2.out_features
@@ -552,10 +574,35 @@ def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None):
         rsm = jnp.where(sm == 0, 1.0, 1.0 / jnp.where(sm == 0, 1.0, sm))
         fc1_qw, fc2_qw, idx = (None, None, None) if stacked is None else stacked
         if fc1.precision == "w4a8":
+            from ..ops.gemm import (
+                _w4a8_fused,
+                dequant_w4a8_to_int8,
+                svdq_gemm_w4a4,
+            )
+
+            if _w4a8_fused():
+                # packed chain: both kernels read int4 HBM and rescale each
+                # weight stripe once into VMEM plane scratches — the 4-bit
+                # fc1->fc2 chain never materializes an int8 (K, N) buffer
+                # (reference gemm_w4a4.cuh:832's 4-bit identity)
+                qout, qs, la2 = svdq_gemm_w8a8_gelu_quant(
+                    qact, asc, fc1.qweight if fc1_qw is None else fc1_qw,
+                    fc1.wscales, la, fc1.proj_up, fc1.bias,
+                    rsm, fc2.proj_down,
+                    act_unsigned_next=bool(fc2.act_unsigned),
+                    gelu_shift=GELU_SHIFT, layer_idx=idx,
+                    rescales=fc1.rescales, precision="w4a8",
+                )
+                out = svdq_gemm_w4a4(
+                    qout, qs, fc2.qweight if fc2_qw is None else fc2_qw,
+                    fc2.wscales, la2, fc2.proj_up, fc2.bias,
+                    rescales=fc2.rescales, precision="w4a8", layer_idx=idx,
+                )
+                if bat:
+                    return out[:, :s_in] if out.shape[1] != s_in else out
+                return out[:m].reshape(*lead, out.shape[-1])
             # dequant the layer's int4 stacks to int8 once (XLA fusion; the
             # dynamic-slice by idx fuses in) and run the int8 chain verbatim
-            from ..ops.gemm import dequant_w4a8_to_int8, svdq_gemm_w4a4
-
             w8_1 = dequant_w4a8_to_int8(
                 fc1.qweight if fc1_qw is None else fc1_qw, fc1.rescales, idx
             )

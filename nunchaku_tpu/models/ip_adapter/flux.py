@@ -159,17 +159,33 @@ def ipa_forward(model, ip_adapter: FluxIPAdapter, image_embeds, *model_args):
         hidden_states, encoder_hidden_states, pooled_projections,
         timestep, img_ids, txt_ids, guidance,
     )
-    k_ip, v_ip = ip_adapter.project(image_embeds)
-
-    def body(carry, layer):
-        block, kl, vl = layer
-        im, tx = block(*carry, temb, rot, ip_kv=(kl, vl), ip_scale=ip_adapter.scale)
-        return (im, tx), None
-
-    (img, txt), _ = jax.lax.scan(
-        body, (img, txt), (model.transformer_blocks, k_ip, v_ip)
+    kv = ip_adapter.project(image_embeds)
+    img, txt = model.run_dual(
+        img, txt, temb, rot, ip_kv=kv, ip_scale=ip_adapter.scale
     )
     s_txt = txt.shape[1]
     x = jnp.concatenate([txt, img], axis=1)
     x = model.run_singles(x, temb, rot, s_txt)
     return model.head(x[:, s_txt:], temb)
+
+
+def ipa_fb_cached_forward(
+    model, ip_adapter: FluxIPAdapter, image_embeds, state, *model_args,
+    residual_diff_threshold: float = 0.12,
+    single_residual_diff_threshold: float | None = None,
+    force=None,
+):
+    """IP-Adapter composed with (double) FB cache: per-layer image K/V ride
+    every computed dual block; hits replay residuals that already carry the
+    conditioning — the reference's IPA_TransformerBlocks extends the cached
+    blocks class (nunchaku/models/ip_adapter/utils.py:25-491), so IPA and
+    caching are one path there too. Returns (velocity, new_state)."""
+    from ...caching.fbcache import fb_cached_forward
+
+    kv = ip_adapter.project(image_embeds)
+    return fb_cached_forward(
+        model, state, *model_args,
+        residual_diff_threshold=residual_diff_threshold,
+        single_residual_diff_threshold=single_residual_diff_threshold,
+        force=force, ip_kv=kv, ip_scale=ip_adapter.scale,
+    )

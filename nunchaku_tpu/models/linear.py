@@ -323,6 +323,16 @@ class SVDQW4A4Linear(Module):
             if self.logical_out < out.shape[-1]:
                 out = out[..., : self.logical_out]
             return out.reshape(b, s, -1) if flat else out
+        if self.precision in ("int8", "w4a8") and not self.act_unsigned:
+            from ..utils.warn import warn_once
+
+            warn_once(
+                "ln_mod_quant_fallback",
+                f"fused LN+modulate+quantize producer unavailable for"
+                f" S={s}, K={k} (needs an S tile divisor and K =="
+                f" in_features={self.in_features}); falling back to the"
+                " multi-pass XLA LN/modulate/quantize chain",
+            )
         from .normalization import layer_norm
 
         y = (

@@ -410,13 +410,23 @@ class FluxTransformer2DModel(Module):
         return img, txt, temb, rot
 
     def run_dual(self, img, txt, temb, rot, start=0, stop=None,
-                 controlnet_block_samples=None):
-        """Scan dual blocks [start, stop) (static bounds)."""
+                 controlnet_block_samples=None, ip_kv=None,
+                 ip_scale: float = 1.0):
+        """Scan dual blocks [start, stop) (static bounds).
+
+        ``ip_kv = (k_ip, v_ip)`` stacked (L, B, S_ip, inner): per-layer
+        IP-Adapter image cross-attention K/V ride the scan as xs (reference
+        IPA_TransformerBlocks, ip_adapter/utils.py:25-491 — which extends
+        the *cached* blocks, so this path composes with fb_cached_forward).
+        """
         stop = self.cfg.num_layers if stop is None else stop
         blocks = jax.tree.map(lambda a: a[start:stop], self.transformer_blocks)
         ctrl = _expand_controlnet(controlnet_block_samples, self.cfg.num_layers)
         if ctrl is not None:
             ctrl = ctrl[start:stop]
+        ip = None
+        if ip_kv is not None:
+            ip = (ip_kv[0][start:stop], ip_kv[1][start:stop])
         mods = None
         if getattr(self, "_hoist_mods", False) and can_batch_mod(
             self.transformer_blocks.norm1.linear
@@ -442,19 +452,21 @@ class FluxTransformer2DModel(Module):
         )
 
         def body(carry, layer):
-            block, c, m, i = layer
+            block, c, m, ipl, i = layer
             ffs = None
             if stk is not None:
                 ffs = ((*stk[0], i), (*stk[1], i))
             if pallas_w:
                 block = attach_stacked_weights(block, blocks, i)
-            im, tx = block(*carry, temb, rot, mods=m, ff_stacked=ffs)
+            im, tx = block(*carry, temb, rot, ip_kv=ipl, ip_scale=ip_scale,
+                           mods=m, ff_stacked=ffs)
             if c is not None:
                 im = im + c.astype(im.dtype)
             return (im, tx), None
 
         (img, txt), _ = jax.lax.scan(
-            body, (img, txt), (blocks, ctrl, mods, jnp.arange(n, dtype=jnp.int32)),
+            body, (img, txt),
+            (blocks, ctrl, mods, ip, jnp.arange(n, dtype=jnp.int32)),
             unroll=getattr(self, "_scan_unroll", 1),
         )
         return img, txt

@@ -234,6 +234,113 @@ def _gemm_w4a8_kernel(*refs, group, has_lora, has_bias, out_dtype,
         out_ref[...] = out.astype(out_dtype)
 
 
+def _act_planes(a):
+    """(bm, bk) int8 logical-order activations -> (lo, hi) plane halves.
+
+    Plane lane j of pack-block b holds logical k = 256 b + j (low) and
+    256 b + 128 + j (high) — the same block-split-half order the packed
+    weights use (core/packing.py), so plane dots contract matching k's.
+    """
+    bm, bk = a.shape
+    a4 = a.reshape(bm, bk // PACK_BLOCK, 2, 128)
+    half = bk // 2
+    return (
+        a4[:, :, 0, :].reshape(bm, half),
+        a4[:, :, 1, :].reshape(bm, half),
+    )
+
+
+def _w4a8_dequant_stripe(qw_ref, rs_ref, wlo_ref, whi_ref, k_idx, *, group,
+                         stacked_w):
+    """Dequantize this grid step's packed (bk/2, bn) weight tile to int8 and
+    store it into the (K/2, bn) plane scratches at the tile's K offset.
+
+    Same math as the reference's load-time int4->int8 requantization
+    (w8 = clip(round(nibble * rescale), -127, 127)); runs under
+    ``pl.when(i == 0)`` so each weight element is dequantized exactly once
+    per kernel invocation instead of once per M-tile (the round-3 Pallas
+    hybrid re-dequantized per M-tile: 9x the VPU work at FLUX M=4608,
+    measured 577 vs 499 ms/step). ``k_idx`` is passed in from the kernel's
+    top level — pl.program_id inside a pl.when body breaks interpret mode."""
+    wp = (qw_ref[0] if stacked_w else qw_ref[...]).astype(jnp.int32)
+    half, _ = wp.shape
+    bk = half * 2
+    lo = (wp << 28) >> 28
+    hi = (wp << 24) >> 28
+    rs_lo, rs_hi = _wgt_plane_scales(rs_ref[...], bk, group)
+    wlo_ref[pl.ds(k_idx * half, half), :] = jnp.clip(
+        jnp.round(lo.astype(jnp.float32) * rs_lo.astype(jnp.float32)),
+        -127, 127,
+    ).astype(jnp.int8)
+    whi_ref[pl.ds(k_idx * half, half), :] = jnp.clip(
+        jnp.round(hi.astype(jnp.float32) * rs_hi.astype(jnp.float32)),
+        -127, 127,
+    ).astype(jnp.int8)
+
+
+def _gemm_w4a8h_kernel(*refs, group, has_lora, has_bias, out_dtype,
+                       grouped_as=False, stacked_w=False):
+    """w4a8 GEMM with hoisted dequant: grid (j, i, kk) — N-tiles OUTERMOST.
+
+    At i == 0 the packed int4 tile is dequantized into (K/2, bn) int8 plane
+    scratches; every M-tile i then contracts against the scratch, so the
+    dequant VPU work is paid once per weight element per call (the int8
+    turbo path plus ~one weight's worth of VPU rescale). ``grouped_as``
+    consumes the chain producer's per-(token, K-group) scales exactly like
+    ``_gemm_w8a8_kernel(grouped_as=True)``."""
+    if stacked_w:  # scalar-prefetch mode: refs[0] is the layer-index ref
+        refs = refs[1:]
+    qa_ref, as_ref, qw_ref, rs_ref, ws_ref = refs[:5]
+    mid = refs[5:-4]
+    la_ref = pu_ref = b_ref = None
+    if has_lora:
+        la_ref, pu_ref, mid = mid[0], mid[1], mid[2:]
+    if has_bias:
+        (b_ref,) = mid
+    out_ref, acc_ref, wlo_ref, whi_ref = refs[-4:]
+
+    i = pl.program_id(1)
+    k_idx = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _dequant():
+        _w4a8_dequant_stripe(qw_ref, rs_ref, wlo_ref, whi_ref, k_idx,
+                             group=group, stacked_w=stacked_w)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    a_lo, a_hi = _act_planes(qa_ref[...])
+    bm, half = a_lo.shape
+    w_lo = wlo_ref[pl.ds(k_idx * half, half), :]
+    w_hi = whi_ref[pl.ds(k_idx * half, half), :]
+    dims = (((1,), (0,)), ((), ()))
+    d = jax.lax.dot_general(a_lo, w_lo, dims, preferred_element_type=jnp.int32)
+    d += jax.lax.dot_general(a_hi, w_hi, dims, preferred_element_type=jnp.int32)
+    if grouped_as:
+        acc_ref[...] += d.astype(jnp.float32) * as_ref[...].reshape(bm, 1)
+    else:
+        acc_ref[...] += d.astype(jnp.float32)
+
+    @pl.when(k_idx == nk - 1)
+    def _done():
+        if grouped_as:
+            out = acc_ref[...] * ws_ref[...].astype(jnp.float32)
+        else:
+            out = acc_ref[...] * as_ref[...].reshape(bm, 1) * ws_ref[...].astype(jnp.float32)
+        if has_lora:
+            out = out + jnp.dot(
+                la_ref[...].astype(jnp.bfloat16),
+                pu_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+        if has_bias:
+            out = out + b_ref[...].astype(jnp.float32)
+        out_ref[...] = out.astype(out_dtype)
+
+
 def _gemm_w8a8_kernel(*refs, has_lora, has_bias, out_dtype, grouped_as=False,
                       stacked_w=False):
     if stacked_w:  # scalar-prefetch mode: refs[0] is the layer-index ref
@@ -399,6 +506,75 @@ def _gemm_w8a8_gelu_quant_kernel(
         qs_ref[...] = scale.reshape(1, 1, bm)
 
 
+def _gemm_w4a8_gelu_quant_kernel(
+    *refs, group, has_lora, has_bias, act_unsigned_next, gelu_shift,
+    stacked_w=False,
+):
+    """w4a8 variant of the GELU_QUANT chain producer: grid (j, i, kk) with
+    the int4->int8 weight dequant hoisted into (K/2, bn) plane scratches at
+    i == 0 (see ``_gemm_w4a8h_kernel``); the dot + GELU->requantize epilogue
+    are identical to ``_gemm_w8a8_gelu_quant_kernel`` — together with the
+    grouped-as consumer this runs the reference's 4-bit-weight fc1->fc2
+    chain (src/Linear.cpp:270-438) straight from packed int4 HBM."""
+    if stacked_w:  # scalar-prefetch mode: refs[0] is the layer-index ref
+        refs = refs[1:]
+    qa_ref, as_ref, qw_ref, rs_ref, ws_ref = refs[:5]
+    mid = refs[5:-6]
+    la_ref = pu_ref = b_ref = None
+    if has_lora:
+        la_ref, pu_ref, mid = mid[0], mid[1], mid[2:]
+    if has_bias:
+        b_ref, mid = mid[0], mid[1:]
+    rsm_ref, pd_ref = mid
+    qout_ref, qs_ref, lp_ref, acc_ref, wlo_ref, whi_ref = refs[-6:]
+
+    i = pl.program_id(1)
+    k_idx = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _dequant():
+        _w4a8_dequant_stripe(qw_ref, rs_ref, wlo_ref, whi_ref, k_idx,
+                             group=group, stacked_w=stacked_w)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    a_lo, a_hi = _act_planes(qa_ref[...])
+    bm, half = a_lo.shape
+    w_lo = wlo_ref[pl.ds(k_idx * half, half), :]
+    w_hi = whi_ref[pl.ds(k_idx * half, half), :]
+    dims = (((1,), (0,)), ((), ()))
+    d = jax.lax.dot_general(a_lo, w_lo, dims, preferred_element_type=jnp.int32)
+    d += jax.lax.dot_general(a_hi, w_hi, dims, preferred_element_type=jnp.int32)
+    acc_ref[...] += d.astype(jnp.float32)
+
+    @pl.when(k_idx == nk - 1)
+    def _done():
+        out = acc_ref[...] * as_ref[...].reshape(bm, 1) * ws_ref[...].astype(jnp.float32)
+        if has_lora:
+            out = out + jnp.dot(
+                la_ref[...].astype(jnp.bfloat16),
+                pu_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+        if has_bias:
+            out = out + b_ref[...].astype(jnp.float32)
+        g = _tanh_gelu(out)
+        lp_ref[0] = jnp.dot(
+            g.astype(jnp.bfloat16), pd_ref[...], preferred_element_type=jnp.float32
+        )
+        if act_unsigned_next:
+            g = g + gelu_shift
+        h = g * rsm_ref[...].astype(jnp.float32)  # x / smooth_next
+        absmax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)  # (bm, 1)
+        scale = absmax / 127.0
+        rcp = jnp.where(scale == 0, 0.0, 1.0 / jnp.where(scale == 0, 1.0, scale))
+        qout_ref[...] = jnp.clip(jnp.round(h * rcp), -127, 127).astype(jnp.int8)
+        qs_ref[...] = scale.reshape(1, 1, bm)
+
+
 def _gemm_w8a8_gelu_quant_pipe_kernel(
     *refs, has_lora, has_bias, act_unsigned_next, gelu_shift, nj,
 ):
@@ -495,6 +671,18 @@ def _w4a8_use_xla(m: int, k: int, n: int) -> bool:
     return os.environ.get("NUNCHAKU_TPU_W4A8_XLA", "1") != "0"
 
 
+def _w4a8_fused() -> bool:
+    """Fused-dequant w4a8 routes (NUNCHAKU_TPU_W4A8_FUSED, default 1): the
+    GELU_QUANT chain and grouped-as consumer read int4-PACKED weights and
+    dequantize each stripe once into VMEM plane scratches
+    (``_w4a8_dequant_stripe``) — no (K, N) int8 HBM round trip per layer.
+    This is the 4-bit-weight-memory serving mode's hot path (reference
+    gemm_w4a4.cuh:832 keeps weights 4-bit all the way into the MMA)."""
+    import os
+
+    return os.environ.get("NUNCHAKU_TPU_W4A8_FUSED", "1") != "0"
+
+
 def _read_gemm_flags() -> tuple:
     """Snapshot the route-selection env flags OUTSIDE jit so they become a
     static part of the jit cache key (an env flip mid-process then actually
@@ -504,6 +692,7 @@ def _read_gemm_flags() -> tuple:
         _int4_use_xla(),
         _grouped_use_xla(),
         _lora_bf16_epilogue(),
+        _w4a8_fused(),
     )
 
 
@@ -588,8 +777,6 @@ def dequant_w4a8_to_int8(qweight, rescales, layer_idx=None):
     array (the dynamic-slice fuses into the dequant fusion — this is an XLA
     op, not a custom call, so no extra copy materializes).
     """
-    from ..core.packing import unpack_int4
-
     if layer_idx is not None:
         qweight = jax.lax.dynamic_index_in_dim(
             qweight, layer_idx.reshape(()), 0, keepdims=False
@@ -597,13 +784,21 @@ def dequant_w4a8_to_int8(qweight, rescales, layer_idx=None):
     half, n = qweight.shape
     k = half * 2
     g = k // rescales.shape[0]
-    w4 = unpack_int4(qweight, axis=0)  # (K, N) int8, logical order
-    rs = jnp.broadcast_to(
-        rescales.astype(jnp.float32)[:, None, :], (k // g, g, n)
-    ).reshape(k, n)
-    return jnp.clip(
-        jnp.round(w4.astype(jnp.float32) * rs), -127, 127
-    ).astype(jnp.int8)
+    # Unpack along axis 0 WITHOUT the unpack_int4 moveaxis: a transpose of
+    # the (K/2, N) weight breaks XLA fusion and materialized ~150 MB of f32
+    # per layer (round-3 trace: transpose-shaped add_convert fusions +
+    # broadcast_in_dim ~70 ms/step). Packed row 128b+j holds logical
+    # elements 256b+j (low nibble) and 256b+128+j (high), so a stack along
+    # a fresh axis restores logical order with bitcast reshapes only.
+    p = qweight.reshape(k // PACK_BLOCK, PACK_BLOCK // 2, n)
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(p, jnp.int8(4)), jnp.int8(4)
+    )
+    hi = jax.lax.shift_right_arithmetic(p, jnp.int8(4))
+    w4 = jnp.stack([lo, hi], axis=1).reshape(k // g, g, n)
+    # rescale broadcast rides the multiply (never materialized at (K, N))
+    w = w4.astype(jnp.float32) * rescales.astype(jnp.float32)[:, None, :]
+    return jnp.clip(jnp.round(w), -127, 127).astype(jnp.int8).reshape(k, n)
 
 
 def _grouped_use_xla() -> bool:
@@ -703,7 +898,7 @@ def _gemm_w8a8_xla(qact, ascales, qweight, wscales, lora_act, proj_up, bias,
     jax.jit,
     static_argnames=(
         "act_unsigned_next", "gelu_shift", "bm", "bn", "bk", "pipelined",
-        "interpret",
+        "interpret", "precision",
     ),
 )
 def svdq_gemm_w8a8_gelu_quant(
@@ -725,6 +920,8 @@ def svdq_gemm_w8a8_gelu_quant(
     pipelined: bool | None = None,
     layer_idx: jnp.ndarray | None = None,
     interpret: bool | None = None,
+    rescales: jnp.ndarray | None = None,
+    precision: str = "int8",
 ):
     """int8 GEMM + fused GELU->requantize chain (reference GELU_QUANT,
     src/Linear.cpp:270-438): returns the NEXT layer's quantized activations.
@@ -741,9 +938,15 @@ def svdq_gemm_w8a8_gelu_quant(
     this avoids the 37.7 MB dynamic-slice copy XLA otherwise materializes
     per block for a Pallas operand (measured ~10 ms/step at FLUX 1024px;
     XLA dots fuse the slice, custom calls cannot).
+
+    ``precision="w4a8"``: ``qweight`` is int4-packed (K/2, N) with
+    ``rescales`` (K/G, N) — the kernel dequantizes each weight stripe ONCE
+    into VMEM scratch and runs the same int8 chain (4-bit weight memory,
+    int8-turbo compute; reference gemm_w4a4.cuh:832's 4-bit identity).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    w4a8 = precision == "w4a8"
     if qact.ndim == 3:
         # batched (B, S, K): vmap the 2D chain — the custom call then takes
         # the 3D operands natively (no flatten at the boundary; B>1 layout
@@ -752,11 +955,12 @@ def svdq_gemm_w8a8_gelu_quant(
             svdq_gemm_w8a8_gelu_quant,
             act_unsigned_next=act_unsigned_next, gelu_shift=gelu_shift,
             bm=bm, bn=bn, bk=bk, pipelined=pipelined, interpret=interpret,
+            precision=precision,
         )
         return jax.vmap(
             lambda q, a, la: fn(q, a, qweight, wscales, la, proj_up, bias,
                                 rsmooth_next, proj_down_next,
-                                layer_idx=layer_idx),
+                                layer_idx=layer_idx, rescales=rescales),
             in_axes=(0, 0, 0 if lora_act is not None else None),
         )(qact, ascales, lora_act)
     m, k = qact.shape
@@ -769,9 +973,20 @@ def svdq_gemm_w8a8_gelu_quant(
         bn = _pick_dim(n, (1536, 1024, 512, 256, 128))
     if bk is None:
         # deepest K first: fewer accumulator revisits (in-model: bk=3072
-        # beats 768 by ~4 ms/step on FLUX; vmem_limit raised below)
-        bk = _pick_dim(k, (3072, 1536, 768, 512, 1024, 256))
+        # beats 768 by ~4 ms/step on FLUX; vmem_limit raised below).
+        # w4a8: the hoisted-dequant f32 temps are (bk/2, bn) — keep bk
+        # moderate; bk must be a 512-multiple (rescale block rows % 8)
+        bk = _pick_dim(
+            k, (1536, 1024, 512) if w4a8 else (3072, 1536, 768, 512, 1024, 256)
+        )
     bm, bn, bk = min(bm, m), min(bn, n), min(bk, k)
+    if w4a8:
+        return _gelu_quant_w4a8(
+            qact, ascales, qweight, rescales, wscales, lora_act, proj_up,
+            bias, rsmooth_next, proj_down_next,
+            act_unsigned_next=act_unsigned_next, gelu_shift=gelu_shift,
+            bm=bm, bn=bn, bk=bk, layer_idx=layer_idx, interpret=interpret,
+        )
     if m % bm or n % bn or k % bk:
         raise ValueError(f"shape ({m},{n},{k}) not divisible by ({bm},{bn},{bk})")
     nj = n // bn
@@ -852,6 +1067,137 @@ def svdq_gemm_w8a8_gelu_quant(
     cost = pl.CostEstimate(
         flops=2 * m * n * k + 2 * m * n * r,
         bytes_accessed=qact.nbytes + qweight.nbytes // (qweight.shape[0] if stacked else 1) + m * n,
+        transcendentals=m * n,
+    )
+    if stacked:
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )
+        qout, qs3, lp = call(layer_idx.reshape(1).astype(jnp.int32), *inputs)
+    else:
+        qout, qs3, lp = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*inputs)
+    return qout, qs3.reshape(nj, m), lp.sum(axis=0)
+
+
+def _gelu_quant_w4a8(
+    qact, ascales, qweight, rescales, wscales, lora_act, proj_up, bias,
+    rsmooth_next, proj_down_next, *,
+    act_unsigned_next, gelu_shift, bm, bn, bk, layer_idx, interpret,
+):
+    """Launch the w4a8 GELU_QUANT chain producer: (j, i, kk) grid, packed
+    int4 weights dequantized once per call into VMEM plane scratches (see
+    ``_gemm_w4a8_gelu_quant_kernel``). Outputs match the int8 chain's."""
+    m, k = qact.shape
+    stacked = layer_idx is not None
+    n = qweight.shape[2] if stacked else qweight.shape[1]
+    if m % bm or n % bn or k % bk:
+        raise ValueError(f"shape ({m},{n},{k}) not divisible by ({bm},{bn},{bk})")
+    nj = n // bn
+    r = proj_down_next.shape[1]
+    has_lora = lora_act is not None
+    has_bias = bias is not None
+    group = k // rescales.shape[0]
+
+    # weight/rescale index maps pin the block index to (0, j) for i > 0:
+    # after the i == 0 dequant pass the packed tile is dead weight, and
+    # consecutive identical indices elide the HBM refetch DMA
+    qw_spec = (
+        pl.BlockSpec(
+            (1, bk // 2, bn),
+            lambda j, i, kk, L: (L[0], jnp.where(i == 0, kk, 0), j),
+            memory_space=pltpu.VMEM,
+        )
+        if stacked
+        else pl.BlockSpec(
+            (bk // 2, bn),
+            lambda j, i, kk, *_: (jnp.where(i == 0, kk, 0), j),
+            memory_space=pltpu.VMEM,
+        )
+    )
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda j, i, kk, *_: (i, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm), lambda j, i, kk, *_: (0, i), memory_space=pltpu.VMEM),
+        qw_spec,
+        pl.BlockSpec(
+            (bk // group, bn),
+            lambda j, i, kk, *_: (jnp.where(i == 0, kk, 0), j),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((1, bn), lambda j, i, kk, *_: (0, j), memory_space=pltpu.VMEM),
+    ]
+    inputs = [qact, ascales.astype(jnp.float32), qweight,
+              rescales.astype(jnp.bfloat16), wscales.astype(jnp.float32)]
+    if has_lora:
+        in_specs += [
+            pl.BlockSpec((bm, lora_act.shape[1]), lambda j, i, kk, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lora_act.shape[1], bn), lambda j, i, kk, *_: (0, j), memory_space=pltpu.VMEM),
+        ]
+        inputs += [lora_act, proj_up.astype(jnp.bfloat16)]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, bn), lambda j, i, kk, *_: (0, j), memory_space=pltpu.VMEM))
+        inputs.append(bias.reshape(1, n))
+    in_specs += [
+        pl.BlockSpec((1, bn), lambda j, i, kk, *_: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, r), lambda j, i, kk, *_: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs += [
+        rsmooth_next.reshape(1, n).astype(jnp.float32),
+        proj_down_next.astype(jnp.bfloat16),
+    ]
+
+    kernel = functools.partial(
+        _gemm_w4a8_gelu_quant_kernel,
+        group=group, has_lora=has_lora, has_bias=has_bias,
+        act_unsigned_next=act_unsigned_next, gelu_shift=gelu_shift,
+        stacked_w=stacked,
+    )
+    grid = (nj, m // bm, k // bk)
+    out_specs = [
+        pl.BlockSpec((bm, bn), lambda j, i, kk, *_: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bm), lambda j, i, kk, *_: (j, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm, r), lambda j, i, kk, *_: (j, i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((m, n), jnp.int8),
+        jax.ShapeDtypeStruct((nj, 1, m), jnp.float32),
+        jax.ShapeDtypeStruct((nj, m, r), jnp.float32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((bm, bn), jnp.float32),
+        pltpu.VMEM((k // 2, bn), jnp.int8),
+        pltpu.VMEM((k // 2, bn), jnp.int8),
+    ]
+    compiler_params = pltpu.CompilerParams(
+        # j carries the scratch dependence per stripe (each core's scratch
+        # is private, so j may still split across cores); i and kk must run
+        # in order for the i == 0 dequant pass to precede its consumers
+        dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k + 2 * m * n * r,
+        bytes_accessed=qact.nbytes + (k // 2) * n + m * n,
         transcendentals=m * n,
     )
     if stacked:
@@ -974,6 +1320,133 @@ def _pick_dim(dim, prefs):
     return dim
 
 
+def _gemm_w4a8_hoisted(
+    qact, ascales, qweight, rescales, wscales, lora_act, proj_up, bias, *,
+    out_dtype, grouped_as, bm, bn, bk, layer_idx, interpret,
+):
+    """Launch the hoisted-dequant w4a8 GEMM (``_gemm_w4a8h_kernel``): grid
+    (j, i, kk) with N-stripes OUTERMOST — at i == 0 each packed int4 K-tile
+    of stripe j is rescaled once into (K/2, bn) int8 plane scratches, and
+    every M-tile contracts against the scratch. ``grouped_as`` consumes the
+    GELU_QUANT chain producer's (Ga, M) per-(token, N-tile) scales exactly
+    like the int8 grouped-as kernel (reference src/Linear.cpp:270-438's
+    fc2.forward_quant, at 4-bit weight memory)."""
+    m, k = qact.shape
+    stacked = layer_idx is not None
+    n = qweight.shape[2] if stacked else qweight.shape[1]
+    group = k // rescales.shape[0]
+    if bm is None:
+        bm = _pick_dim(m, (512, 256, 128))
+    if bn is None:
+        bn = _pick_dim(n, (1536, 1024, 512, 256, 128))
+    if bk is None:
+        # (bk/group) rescale block rows must be a multiple of 8 -> 512s
+        bk = _pick_dim(k, (1536, 1024, 512))
+    bm, bn, bk = min(bm, m), min(bn, n), min(bk, k)
+    if m % bm or n % bn or k % bk:
+        raise ValueError(f"shape ({m},{n},{k}) not divisible by ({bm},{bn},{bk})")
+    has_lora = lora_act is not None
+    has_bias = bias is not None
+
+    qw_spec = (
+        pl.BlockSpec(
+            (1, bk // 2, bn),
+            lambda j, i, kk, L: (L[0], jnp.where(i == 0, kk, 0), j),
+            memory_space=pltpu.VMEM,
+        )
+        if stacked
+        else pl.BlockSpec(
+            (bk // 2, bn),
+            lambda j, i, kk, *_: (jnp.where(i == 0, kk, 0), j),
+            memory_space=pltpu.VMEM,
+        )
+    )
+    as_spec = (
+        pl.BlockSpec((1, 1, bm), lambda j, i, kk, *_: (kk, 0, i), memory_space=pltpu.VMEM)
+        if grouped_as
+        else pl.BlockSpec((1, bm), lambda j, i, kk, *_: (0, i), memory_space=pltpu.VMEM)
+    )
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda j, i, kk, *_: (i, kk), memory_space=pltpu.VMEM),
+        as_spec,
+        qw_spec,
+        pl.BlockSpec(
+            (bk // group, bn),
+            lambda j, i, kk, *_: (jnp.where(i == 0, kk, 0), j),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((1, bn), lambda j, i, kk, *_: (0, j), memory_space=pltpu.VMEM),
+    ]
+    asc = ascales.astype(jnp.float32)
+    if grouped_as:
+        asc = asc.reshape(asc.shape[0], 1, asc.shape[1])
+    inputs = [qact, asc, qweight, rescales.astype(jnp.bfloat16),
+              wscales.astype(jnp.float32)]
+    if has_lora:
+        r = lora_act.shape[1]
+        in_specs += [
+            pl.BlockSpec((bm, r), lambda j, i, kk, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, bn), lambda j, i, kk, *_: (0, j), memory_space=pltpu.VMEM),
+        ]
+        inputs += [lora_act, proj_up.astype(jnp.bfloat16)]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((1, bn), lambda j, i, kk, *_: (0, j), memory_space=pltpu.VMEM)
+        )
+        inputs.append(bias.reshape(1, n))
+
+    kernel = functools.partial(
+        _gemm_w4a8h_kernel, group=group, has_lora=has_lora,
+        has_bias=has_bias, out_dtype=out_dtype, grouped_as=grouped_as,
+        stacked_w=stacked,
+    )
+    grid = (n // bn, m // bm, k // bk)
+    out_spec = pl.BlockSpec((bm, bn), lambda j, i, kk, *_: (i, j), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((m, n), out_dtype)
+    scratch_shapes = [
+        pltpu.VMEM((bm, bn), jnp.float32),
+        pltpu.VMEM((k // 2, bn), jnp.int8),
+        pltpu.VMEM((k // 2, bn), jnp.int8),
+    ]
+    compiler_params = pltpu.CompilerParams(
+        # j may split across cores (scratch is core-private); i and kk must
+        # run in order so the i == 0 dequant pass precedes its consumers
+        dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k + (2 * m * n * (lora_act.shape[1] if has_lora else 0)),
+        bytes_accessed=qact.nbytes + (k // 2) * n + m * n * 2,
+        transcendentals=0,
+    )
+    if stacked:
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_spec,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(layer_idx.reshape(1).astype(jnp.int32), *inputs)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        compiler_params=compiler_params,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*inputs)
+
+
 def svdq_gemm_w4a4(
     qact: jnp.ndarray,
     ascales: jnp.ndarray,
@@ -1060,7 +1533,7 @@ def _svdq_gemm_w4a4(
         interpret = jax.default_backend() == "cpu"  # tests run interpreted
     if flags is None:
         flags = _read_gemm_flags()
-    w4a8_xla, int4_xla, grouped_xla, lora_bf16 = flags
+    w4a8_xla, int4_xla, grouped_xla, lora_bf16, w4a8_fused = flags
     is_int8 = precision == "int8"
     is_w4a8 = precision == "w4a8"
     stacked = layer_idx is not None
@@ -1116,8 +1589,11 @@ def _svdq_gemm_w4a4(
         return dim
 
     # grouped act scales (Ga, M) with Ga > 1: the fused requant chain's
-    # consumer — one scale group per k step (bk forced to the group size)
-    grouped_as = is_int8 and ascales.ndim == 2 and ascales.shape[0] > 1
+    # consumer — one scale group per k step (bk forced to the group size).
+    # int8 AND w4a8 (the w4a8 chain consumer contracts packed int4 weights
+    # against the producer's per-(token, N-tile) scale groups); int4/nvfp4
+    # per-group ascales are (K/G, M) and are NOT this layout.
+    grouped_as = (is_int8 or is_w4a8) and ascales.ndim == 2 and ascales.shape[0] > 1
     if grouped_as:
         if k % ascales.shape[0]:
             raise ValueError(f"K={k} not divisible by {ascales.shape[0]} scale groups")
@@ -1131,7 +1607,7 @@ def _svdq_gemm_w4a4(
             out_dtype, lora_bf16=lora_bf16,
         )
 
-    if grouped_as and grouped_xla:
+    if grouped_as and grouped_xla and is_int8:
         # chain consumer on XLA: one int8 dot per K scale-group, each
         # scaled by its (M,) group scale and summed — moves the fc2 GEMM
         # from the Pallas grouped-as kernel (~230 TF/s) to XLA's int8 dot
@@ -1153,6 +1629,17 @@ def _svdq_gemm_w4a4(
             out_dtype=out_dtype, layer_idx=layer_idx, lora_bf16=lora_bf16,
         )
 
+    if is_w4a8 and grouped_as:
+        # chain consumer on packed int4 weights: the hoisted-dequant kernel
+        # rescales each weight stripe ONCE into VMEM plane scratches and
+        # contracts the producer's grouped-scale int8 activations — the
+        # 4-bit fc1->fc2 chain never materializes an int8 (K, N) buffer
+        return _gemm_w4a8_hoisted(
+            qact, ascales, qweight, rescales, wscales, lora_act, proj_up,
+            bias, out_dtype=out_dtype, grouped_as=True, bm=bm, bn=bn, bk=bk,
+            layer_idx=layer_idx, interpret=interpret,
+        )
+
     if (is_w4a8 and bm is None and bn is None and bk is None and w4a8_xla):
         # standalone w4a8: dequant the layer's int4 weights to int8 in-graph
         # (one HBM-bound fusion) and ride XLA's native int8 dot — int8-turbo
@@ -1164,6 +1651,16 @@ def _svdq_gemm_w4a4(
         return _gemm_w8a8_xla(
             qact, ascales, w8, wscales, lora_act, proj_up, bias, out_dtype,
             lora_bf16=lora_bf16,
+        )
+
+    if is_w4a8 and bm is None and bn is None and bk is None:
+        # W4A8_XLA=0 Pallas route: hoisted-dequant kernel (each weight
+        # element rescaled once per call, not once per M-tile — the round-3
+        # per-M-tile hybrid measured 577 vs 499 ms/step on chip)
+        return _gemm_w4a8_hoisted(
+            qact, ascales, qweight, rescales, wscales, lora_act, proj_up,
+            bias, out_dtype=out_dtype, grouped_as=False, bm=None, bn=None,
+            bk=None, layer_idx=layer_idx, interpret=interpret,
         )
 
     if is_int8 and bm is None and bn is None and bk is None:

@@ -68,6 +68,52 @@ def test_ip_adapter_conditions(model):
     assert not np.allclose(np.asarray(base, np.float32), np.asarray(out, np.float32))
 
 
+def test_ipa_composes_with_double_fb_cache(model):
+    """IPA x caching (reference IPA_TransformerBlocks extends the cached
+    blocks, ip_adapter/utils.py:25-491): at an impossible threshold (0 —
+    every step misses) the cached IPA step must equal uncached ipa_forward
+    bit-exactly, and a forced hit must replay conditioning-carrying
+    residuals (different from both the base model and a miss step)."""
+    from nunchaku_tpu.caching.fbcache import init_fb_state
+    from nunchaku_tpu.models.ip_adapter.flux import ipa_fb_cached_forward
+
+    ipa = FluxIPAdapter.random_init(
+        jax.random.PRNGKey(6), TINY.num_layers, cross_dim=256, inner=TINY.dim
+    )
+    args = _args()
+    image_embeds = jax.random.normal(jax.random.PRNGKey(7), (1, 16, 256), jnp.bfloat16)
+    state = init_fb_state(1, 256, 64, TINY.dim)
+
+    f_cached = jax.jit(
+        lambda m, a, ie, st, *ar: ipa_fb_cached_forward(
+            m, a, ie, st, *ar,
+            residual_diff_threshold=0.0, single_residual_diff_threshold=0.0,
+        )
+    )
+    out0, state = f_cached(model, ipa, image_embeds, state, *args)
+    out1, state = f_cached(model, ipa, image_embeds, state, *args)
+    ref = jax.jit(lambda m, a, ie, *ar: ipa_forward(m, a, ie, *ar))(
+        model, ipa, image_embeds, *args
+    )
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(ref))
+
+    # forced hit replays the cached (conditioning-carrying) residuals
+    f_hit = jax.jit(
+        lambda m, a, ie, st, *ar: ipa_fb_cached_forward(
+            m, a, ie, st, *ar,
+            residual_diff_threshold=0.0, single_residual_diff_threshold=0.0,
+            force=jnp.ones((), jnp.int32),
+        )
+    )
+    out_hit, state2 = f_hit(model, ipa, image_embeds, state, *args)
+    assert int(state2.hits) == int(state.hits) + 1
+    base = jax.jit(lambda m, *a: m(*a))(model, *args)
+    assert not np.allclose(
+        np.asarray(out_hit, np.float32), np.asarray(base, np.float32)
+    )
+
+
 def test_ipa_xlabs_loader_and_projection():
     """Synthesized XLabs flux-ip-adapter checkpoint: key schema of
     reference load_ip_adapter_weights_per_layer (utils.py:417-430) plus the

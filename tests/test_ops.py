@@ -347,6 +347,59 @@ class TestW4A8:
             np.asarray(out_w4a8), np.asarray(out_int8)
         )
 
+    def test_w4a8_hoisted_matches_per_mtile_kernel(self, monkeypatch):
+        """The hoisted-dequant Pallas route (W4A8_XLA=0, default tiles) must
+        be bit-identical to the per-M-tile hybrid kernel (explicit tiles):
+        same clip(round(nibble*rs)) stripes, same int32 plane dots, same f32
+        epilogue — only the dequant schedule differs."""
+        from nunchaku_tpu.core.packing import pack_int4
+        from nunchaku_tpu.ops.gemm import svdq_gemm_w4a4
+        from nunchaku_tpu.ops.quantize import quantize_w4a4_act_fuse_lora
+
+        rng_ = np.random.default_rng(29)
+        m, k, n, g = 128, 512, 256, 64
+        x = jnp.asarray(rng_.standard_normal((m, k)), jnp.bfloat16)
+        pd = jnp.asarray(rng_.standard_normal((k, 32)) * 0.05, jnp.bfloat16)
+        pu = jnp.asarray(rng_.standard_normal((32, n)) * 0.05, jnp.bfloat16)
+        sm = jnp.asarray(np.abs(rng_.standard_normal(k)) + 0.5, jnp.bfloat16)
+        bias = jnp.asarray(rng_.standard_normal(n) * 0.1, jnp.bfloat16)
+        qw = jnp.asarray(pack_int4(rng_.integers(-7, 8, (k, n)), axis=0))
+        rs = jnp.asarray(rng_.random((k // g, n)) + 0.5, jnp.bfloat16)
+        ws = jnp.asarray(rng_.random((1, n)) * 0.01 + 0.001, jnp.float32)
+        qa, asc, la = quantize_w4a4_act_fuse_lora(x, pd, sm, precision="w4a8")
+
+        per_mtile = svdq_gemm_w4a4(
+            qa, asc, qw, ws, la, pu, bias, rescales=rs, precision="w4a8",
+            bm=64, bn=128, bk=512,
+        )
+        monkeypatch.setenv("NUNCHAKU_TPU_W4A8_XLA", "0")
+        hoisted = svdq_gemm_w4a4(
+            qa, asc, qw, ws, la, pu, bias, rescales=rs, precision="w4a8",
+        )
+        np.testing.assert_array_equal(np.asarray(hoisted), np.asarray(per_mtile))
+
+    def test_w4a8_fused_chain_matches_dequant_route(self, monkeypatch):
+        """gelu_mlp's packed chain (W4A8_FUSED=1: int4 planes dequantized
+        into the chain kernels' VMEM scratches) must be bit-identical to the
+        in-graph-dequant + int8-chain route (W4A8_FUSED=0) — both feed the
+        same int8 stripes to the same dots and epilogues."""
+        import jax
+
+        from nunchaku_tpu.models.attention import gelu_mlp
+        from nunchaku_tpu.models.linear import SVDQW4A4Linear
+
+        key = jax.random.PRNGKey(11)
+        k1, k2, k3 = jax.random.split(key, 3)
+        fc1 = SVDQW4A4Linear.random_init(k1, 512, 1024, rank=16, precision="w4a8")
+        fc2 = SVDQW4A4Linear.random_init(k2, 1024, 512, rank=16, precision="w4a8")
+        x = jax.random.normal(k3, (1, 64, 512), jnp.bfloat16)
+
+        monkeypatch.setenv("NUNCHAKU_TPU_W4A8_FUSED", "1")
+        fused = gelu_mlp(fc1, fc2, x)
+        monkeypatch.setenv("NUNCHAKU_TPU_W4A8_FUSED", "0")
+        dequant = gelu_mlp(fc1, fc2, x)
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(dequant))
+
     def test_lora_bf16_epilogue_drift_bound(self, monkeypatch):
         """Default-on NUNCHAKU_TPU_XLA_LORA_BF16 (main dot materializes
         bf16 before the lora-up add — halves the inter-fusion HBM traffic;
