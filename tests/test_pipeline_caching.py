@@ -313,3 +313,20 @@ def test_encode_prompt_returns_arrays():
     prompt_embeds, pooled = pipe.encode_prompt("a cat")
     assert isinstance(pooled, jnp.ndarray) and pooled.ndim == 2
     assert prompt_embeds.ndim == 3 and prompt_embeds.shape[0] == 1
+
+
+def test_teacache_batched_prompts(pipe):
+    """examples/flux_teacache_batch.py path: B=3 shares one scanned denoise
+    loop and one TeaCache decision per step (reference
+    flux.1-dev-teacache-batch.py batches prompts through one wrapped
+    pipeline); per-sample latents must differ and stay finite."""
+    pe, pool = _embeds(b=3)
+    out = pipe(
+        prompt_embeds=pe, pooled_prompt_embeds=pool,
+        height=128, width=128, num_inference_steps=3, seed=0,
+        cache="teacache", teacache_rel_l1_thresh=0.3,
+    )
+    lat = np.asarray(out.latents, np.float32)
+    assert lat.shape == (3, 64, 64)
+    assert np.isfinite(lat).all()
+    assert not np.allclose(lat[0], lat[1])
