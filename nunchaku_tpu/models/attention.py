@@ -622,11 +622,13 @@ def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None):
             if bat:
                 return out[:, :s_in] if out.shape[1] != s_in else out
             return out[:m].reshape(*lead, out.shape[-1])
+        from ..ops.gemm import _chain_ptoken
+
         qout, qs, la2 = svdq_gemm_w8a8_gelu_quant(
             qact, asc, fc1.qweight if fc1_qw is None else fc1_qw,
             fc1.wscales, la, fc1.proj_up, fc1.bias,
             rsm, fc2.proj_down, act_unsigned_next=bool(fc2.act_unsigned),
-            gelu_shift=GELU_SHIFT, layer_idx=idx,
+            gelu_shift=GELU_SHIFT, layer_idx=idx, ptoken=_chain_ptoken(),
         )
         out = fc2.forward_quant(qout, qs, la2, qweight=fc2_qw, layer_idx=idx)
         if bat:

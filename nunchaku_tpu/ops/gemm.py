@@ -506,6 +506,193 @@ def _gemm_w8a8_gelu_quant_kernel(
         qs_ref[...] = scale.reshape(1, 1, bm)
 
 
+def _gemm_w8a8_gelu_quant_ptoken_kernel(
+    *refs, nj, has_lora, has_bias, act_unsigned_next, gelu_shift,
+    stacked_w=False,
+):
+    """Per-TOKEN-scale variant of the GELU_QUANT chain producer.
+
+    Grid (i, j) with j sequential: each j's GELU'd + smoothed tile lands in
+    a full-row (bm, N) f32 VMEM scratch while a running per-row absmax
+    accumulates; at j == nj-1 the whole row-stripe quantizes with ONE scale
+    per token — the reference's own scale granularity (EpilogueQuantize,
+    gemm_w4a4.cuh:931 quantizes per token). The consumer then takes plain
+    (1, M) ascales and rides XLA's int8 dot (~318 TF/s in-model) instead of
+    the Pallas grouped-as kernel (~230 TF/s): the fc2 GEMM leaves the
+    custom-call path entirely."""
+    if stacked_w:  # scalar-prefetch mode: refs[0] is the layer-index ref
+        refs = refs[1:]
+    qa_ref, as_ref, qw_ref, ws_ref = refs[:4]
+    mid = refs[4:-6]
+    la_ref = pu_ref = b_ref = None
+    if has_lora:
+        la_ref, pu_ref, mid = mid[0], mid[1], mid[2:]
+    if has_bias:
+        b_ref, mid = mid[0], mid[1:]
+    rsm_ref, pd_ref = mid
+    qout_ref, qs_ref, lp_ref, h_ref, amax_ref, lp_acc_ref = refs[-6:]
+
+    j = pl.program_id(1)
+    bm = qa_ref.shape[0]
+    bn = ws_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _init():
+        amax_ref[...] = jnp.zeros_like(amax_ref)
+        lp_acc_ref[...] = jnp.zeros_like(lp_acc_ref)
+
+    qw = qw_ref[0] if stacked_w else qw_ref[...]
+    d = jax.lax.dot_general(
+        qa_ref[...], qw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = d.astype(jnp.float32) * as_ref[...].reshape(bm, 1) * ws_ref[...].astype(jnp.float32)
+    if has_lora:
+        out = out + jnp.dot(
+            la_ref[...].astype(jnp.bfloat16), pu_ref[...],
+            preferred_element_type=jnp.float32,
+        )
+    if has_bias:
+        out = out + b_ref[...].astype(jnp.float32)
+    g = _tanh_gelu(out)
+    lp_acc_ref[...] += jnp.dot(
+        g.astype(jnp.bfloat16), pd_ref[...], preferred_element_type=jnp.float32
+    )
+    if act_unsigned_next:
+        g = g + gelu_shift
+    h = g * rsm_ref[...].astype(jnp.float32)  # x / smooth_next
+    h_ref[:, pl.ds(j * bn, bn)] = h
+    amax_ref[...] = jnp.maximum(
+        amax_ref[...],
+        jnp.broadcast_to(jnp.max(jnp.abs(h), axis=-1, keepdims=True),
+                         amax_ref.shape),
+    )
+
+    @pl.when(j == nj - 1)
+    def _done():
+        scale = amax_ref[:, :1] / 127.0  # (bm, 1), all lanes equal
+        rcp = jnp.where(scale == 0, 0.0, 1.0 / jnp.where(scale == 0, 1.0, scale))
+        qout_ref[...] = jnp.clip(
+            jnp.round(h_ref[...] * rcp), -127, 127
+        ).astype(jnp.int8)
+        qs_ref[...] = scale.reshape(1, bm)
+        lp_ref[...] = lp_acc_ref[...]
+
+
+def _gelu_quant_ptoken(
+    qact, ascales, qweight, wscales, lora_act, proj_up, bias,
+    rsmooth_next, proj_down_next, *,
+    act_unsigned_next, gelu_shift, bm, bn, layer_idx, interpret,
+):
+    """Launch the per-token-scale chain producer (grid (i, j), full-row
+    scratch — see ``_gemm_w8a8_gelu_quant_ptoken_kernel``). Returns
+    (qout (M, N) int8, qscales (1, M) f32, lora_next (M, R) f32): the
+    consumer routes as a plain per-token int8 GEMM (XLA dot)."""
+    m, k = qact.shape
+    stacked = layer_idx is not None
+    n = qweight.shape[2] if stacked else qweight.shape[1]
+    # full-row f32 scratch: keep bm moderate so (bm, N) f32 + (bm, N) int8
+    # out stay well inside VMEM (512 x 12288 -> 25.2 + 6.3 MB at FLUX fc1)
+    if m % bm or n % bn:
+        raise ValueError(f"shape ({m},{n}) not divisible by ({bm},{bn})")
+    nj = n // bn
+    r = proj_down_next.shape[1]
+    has_lora = lora_act is not None
+    has_bias = bias is not None
+
+    qw_spec = (
+        pl.BlockSpec((1, k, bn), lambda i, j, L: (L[0], 0, j), memory_space=pltpu.VMEM)
+        if stacked
+        else pl.BlockSpec((k, bn), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM)
+    )
+    in_specs = [
+        pl.BlockSpec((bm, k), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM),
+        qw_spec,
+        pl.BlockSpec((1, bn), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
+    ]
+    inputs = [qact, ascales.astype(jnp.float32), qweight, wscales.astype(jnp.float32)]
+    if has_lora:
+        in_specs += [
+            pl.BlockSpec((bm, lora_act.shape[1]), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lora_act.shape[1], bn), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
+        ]
+        inputs += [lora_act, proj_up.astype(jnp.bfloat16)]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM))
+        inputs.append(bias.reshape(1, n))
+    in_specs += [
+        pl.BlockSpec((1, bn), lambda i, j, *_: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, r), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs += [
+        rsmooth_next.reshape(1, n).astype(jnp.float32),
+        proj_down_next.astype(jnp.bfloat16),
+    ]
+
+    kernel = functools.partial(
+        _gemm_w8a8_gelu_quant_ptoken_kernel,
+        nj=nj, has_lora=has_lora, has_bias=has_bias,
+        act_unsigned_next=act_unsigned_next, gelu_shift=gelu_shift,
+        stacked_w=stacked,
+    )
+    grid = (m // bm, nj)
+    out_specs = [
+        pl.BlockSpec((bm, n), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm), lambda i, j, *_: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, r), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((m, n), jnp.int8),
+        jax.ShapeDtypeStruct((1, m), jnp.float32),
+        jax.ShapeDtypeStruct((m, r), jnp.float32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((bm, n), jnp.float32),
+        pltpu.VMEM((bm, 128), jnp.float32),
+        pltpu.VMEM((bm, r), jnp.float32),
+    ]
+    compiler_params = pltpu.CompilerParams(
+        # j carries the row-scratch/absmax dependence — sequential
+        dimension_semantics=("parallel", "arbitrary"),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k + 2 * m * n * r,
+        bytes_accessed=qact.nbytes + k * n + m * n,
+        transcendentals=m * n,
+    )
+    if stacked:
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )
+        qout, qs, lp = call(layer_idx.reshape(1).astype(jnp.int32), *inputs)
+    else:
+        qout, qs, lp = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*inputs)
+    return qout, qs, lp
+
+
 def _gemm_w4a8_gelu_quant_kernel(
     *refs, group, has_lora, has_bias, act_unsigned_next, gelu_shift,
     stacked_w=False,
@@ -681,6 +868,17 @@ def _w4a8_fused() -> bool:
     import os
 
     return os.environ.get("NUNCHAKU_TPU_W4A8_FUSED", "1") != "0"
+
+
+def _chain_ptoken() -> bool:
+    """Per-token-scale chain producer (NUNCHAKU_TPU_CHAIN_PTOKEN): the
+    GELU_QUANT producer quantizes each row with ONE scale (the reference's
+    own granularity, EpilogueQuantize gemm_w4a4.cuh:931) so the fc2
+    consumer rides XLA's int8 dot instead of the Pallas grouped-as kernel.
+    Opt-in until the on-chip A/B settles the default."""
+    import os
+
+    return os.environ.get("NUNCHAKU_TPU_CHAIN_PTOKEN", "0") != "0"
 
 
 def _read_gemm_flags() -> tuple:
@@ -898,7 +1096,7 @@ def _gemm_w8a8_xla(qact, ascales, qweight, wscales, lora_act, proj_up, bias,
     jax.jit,
     static_argnames=(
         "act_unsigned_next", "gelu_shift", "bm", "bn", "bk", "pipelined",
-        "interpret", "precision",
+        "interpret", "precision", "ptoken",
     ),
 )
 def svdq_gemm_w8a8_gelu_quant(
@@ -922,6 +1120,7 @@ def svdq_gemm_w8a8_gelu_quant(
     interpret: bool | None = None,
     rescales: jnp.ndarray | None = None,
     precision: str = "int8",
+    ptoken: bool = False,
 ):
     """int8 GEMM + fused GELU->requantize chain (reference GELU_QUANT,
     src/Linear.cpp:270-438): returns the NEXT layer's quantized activations.
@@ -955,7 +1154,7 @@ def svdq_gemm_w8a8_gelu_quant(
             svdq_gemm_w8a8_gelu_quant,
             act_unsigned_next=act_unsigned_next, gelu_shift=gelu_shift,
             bm=bm, bn=bn, bk=bk, pipelined=pipelined, interpret=interpret,
-            precision=precision,
+            precision=precision, ptoken=ptoken,
         )
         return jax.vmap(
             lambda q, a, la: fn(q, a, qweight, wscales, la, proj_up, bias,
@@ -986,6 +1185,13 @@ def svdq_gemm_w8a8_gelu_quant(
             bias, rsmooth_next, proj_down_next,
             act_unsigned_next=act_unsigned_next, gelu_shift=gelu_shift,
             bm=bm, bn=bn, bk=bk, layer_idx=layer_idx, interpret=interpret,
+        )
+    if ptoken:
+        return _gelu_quant_ptoken(
+            qact, ascales, qweight, wscales, lora_act, proj_up, bias,
+            rsmooth_next, proj_down_next,
+            act_unsigned_next=act_unsigned_next, gelu_shift=gelu_shift,
+            bm=bm, bn=bn, layer_idx=layer_idx, interpret=interpret,
         )
     if m % bm or n % bn or k % bk:
         raise ValueError(f"shape ({m},{n},{k}) not divisible by ({bm},{bn},{bk})")

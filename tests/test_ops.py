@@ -468,6 +468,78 @@ class TestGeluQuantChain:
         out = np.asarray(svdq_gemm_w4a4(qa, grouped, qw, ws, precision="int8"), np.float32)
         np.testing.assert_allclose(out, ref, rtol=2e-2, atol=1e-4)
 
+    def test_ptoken_producer_matches_oracle(self):
+        """Per-token-scale producer (ptoken=True: full-row scratch, one
+        scale per token — the reference's own granularity,
+        gemm_w4a4.cuh:931) vs a jnp oracle of the exact epilogue math:
+        int32 dot, f32 scales, tanh-GELU, bf16 lora-down dot, shift,
+        1/smooth, per-row absmax/127 quantize."""
+        from nunchaku_tpu.ops.gemm import _tanh_gelu, svdq_gemm_w8a8_gelu_quant
+
+        rng_ = np.random.default_rng(17)
+        m, k, n, r, shift = 128, 512, 1024, 32, 0.171875
+        qa = jnp.asarray(rng_.integers(-127, 128, (m, k)), jnp.int8)
+        asc = jnp.asarray(rng_.random((1, m)) * 0.01 + 0.001, jnp.float32)
+        qw = jnp.asarray(rng_.integers(-127, 128, (k, n)), jnp.int8)
+        ws = jnp.asarray(rng_.random((1, n)) * 0.01 + 0.001, jnp.float32)
+        la = jnp.asarray(rng_.standard_normal((m, r)) * 0.05, jnp.bfloat16)
+        pu = jnp.asarray(rng_.standard_normal((r, n)) * 0.05, jnp.bfloat16)
+        bias = jnp.asarray(rng_.standard_normal(n) * 0.1, jnp.bfloat16)
+        rsm = jnp.asarray(np.abs(rng_.standard_normal(n)) + 0.5, jnp.float32)
+        pd = jnp.asarray(rng_.standard_normal((n, r)) * 0.05, jnp.bfloat16)
+
+        qout, qs, lp = svdq_gemm_w8a8_gelu_quant(
+            qa, asc, qw, ws, la, pu, bias, rsm, pd,
+            act_unsigned_next=True, gelu_shift=shift, ptoken=True, bn=512,
+        )
+        assert qs.shape == (1, m) and lp.shape == (m, r)
+
+        d = jax.lax.dot_general(
+            qa, qw, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        out = d * asc.reshape(m, 1) * ws
+        out = out + jnp.dot(la, pu, preferred_element_type=jnp.float32)
+        out = out + bias.astype(jnp.float32)
+        g = _tanh_gelu(out)
+        lp_ref = jnp.dot(g.astype(jnp.bfloat16), pd,
+                         preferred_element_type=jnp.float32)
+        h = (g + shift) * rsm.reshape(1, n)
+        scale = jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0
+        q_ref = jnp.clip(jnp.round(h / scale), -127, 127).astype(jnp.int8)
+
+        np.testing.assert_array_equal(np.asarray(qout), np.asarray(q_ref))
+        np.testing.assert_allclose(
+            np.asarray(qs).ravel(), np.asarray(scale).ravel(), rtol=1e-6)
+        # lp sums per-N-tile partials (f32 scratch) where the oracle does
+        # one full-N dot — association order differs by ~1e-4
+        np.testing.assert_allclose(
+            np.asarray(lp), np.asarray(lp_ref), rtol=1e-3, atol=1e-3)
+
+    def test_ptoken_chain_pair_matches_grouped_pair(self):
+        """gelu_mlp with the per-token producer feeding the plain int8
+        consumer must agree with the grouped-scale default pair to within
+        quantization granularity (per-token scales are coarser than
+        per-(token, N-tile) groups)."""
+        from nunchaku_tpu.models.attention import gelu_mlp
+        from nunchaku_tpu.models.linear import SVDQW4A4Linear
+
+        fc1 = SVDQW4A4Linear.random_init(
+            jax.random.PRNGKey(0), 512, 1024, precision="int8")
+        fc2 = SVDQW4A4Linear.random_init(
+            jax.random.PRNGKey(1), 1024, 512, precision="int8",
+            act_unsigned=True)
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, 128, 512), jnp.bfloat16)
+        import os
+
+        os.environ["NUNCHAKU_TPU_CHAIN_PTOKEN"] = "1"
+        try:
+            ptok = np.asarray(gelu_mlp(fc1, fc2, x), np.float32)
+        finally:
+            os.environ.pop("NUNCHAKU_TPU_CHAIN_PTOKEN")
+        grouped = np.asarray(gelu_mlp(fc1, fc2, x), np.float32)
+        err = np.linalg.norm(ptok - grouped) / np.linalg.norm(grouped)
+        assert err < 0.02, err
+
 
 def test_flash_attention_i8_matches_oracle():
     """int8-QK fixed-shift flash vs the f32 SDPA oracle (SageAttention-style

@@ -330,3 +330,70 @@ def test_teacache_batched_prompts(pipe):
     assert lat.shape == (3, 64, 64)
     assert np.isfinite(lat).all()
     assert not np.allclose(lat[0], lat[1])
+
+
+def test_natural_threshold_trajectory_matches_analytic_replay(pipe):
+    """VERDICT r3 #4: nobody had ever seen the lax.cond *threshold* path
+    choose realistically (random weights are degenerate — ~every step
+    hits). Engineer a non-degenerate input trajectory: perturbations whose
+    first-block-residual drift is calibrated to sweep from ~4x the
+    threshold down to ~0.1x, so the decision must flip from miss to hit
+    mid-schedule. The jitted decisions must equal a step-by-step replay of
+    the reference decision rule (store-on-miss: compare against the last
+    MISS's residual, caching/utils.py:459-516) computed from uncached
+    block-0 residuals."""
+    from nunchaku_tpu.caching.fbcache import (
+        _similar,
+        fb_cached_forward,
+        init_fb_state,
+    )
+
+    model = pipe.transformer
+    b, s_img, s_txt, tau = 1, 64, 128, 0.12
+    pe, pool = _embeds(b, s_txt)
+    ids = make_img_ids(8, 8)
+    tids = jnp.zeros((s_txt, 3), jnp.int32)
+    g = jnp.full((b,), 3.5, jnp.float32)
+    t = jnp.full((b,), 0.7, jnp.float32)
+    base = jax.random.normal(jax.random.PRNGKey(1), (b, s_img, 64), jnp.bfloat16)
+    dirn = jax.random.normal(jax.random.PRNGKey(2), (b, s_img, 64), jnp.bfloat16)
+
+    first_res = jax.jit(
+        lambda m, h: (lambda e: (m.run_dual(*e[:2], e[2], e[3], stop=1)[0]
+                                 - e[0]).astype(jnp.bfloat16))(
+            m.embed(h, pe, pool, t, ids, tids, g))
+    )
+    # calibrate: rel-L1 drift per unit perturbation along dirn
+    r0 = first_res(model, base)
+    m1 = float(jnp.mean(jnp.abs(first_res(model, base + dirn) - r0))
+               / (jnp.mean(jnp.abs(r0)) + 1e-8))
+    # drift targets sweep 4*tau -> 0.1*tau: early steps must miss, late hit
+    targets = tau * np.array([4.0, 3.0, 2.0, 1.5, 0.5, 0.25, 0.15, 0.1])
+    amps = np.cumsum(targets / m1)  # |a_t - a_lastmiss| ~ target when
+    # the last miss was the previous step (true while missing)
+    inputs = [base] + [base + float(a) * dirn for a in amps]
+
+    # analytic replay of the decision rule from uncached residuals
+    residuals = [first_res(model, h) for h in inputs]
+    exp_hits, prev = [False], residuals[0]  # step 0: cold cache misses
+    for r in residuals[1:]:
+        hit = bool(_similar(r, prev, tau))
+        exp_hits.append(hit)
+        if not hit:
+            prev = r
+    assert any(exp_hits) and not all(exp_hits[1:]), (
+        f"degenerate engineered trajectory: {exp_hits}")
+
+    f = jax.jit(
+        lambda m, s, h: fb_cached_forward(
+            m, s, h, pe, pool, t, ids, tids, g,
+            residual_diff_threshold=tau,
+        )
+    )
+    st = init_fb_state(b, s_img, s_txt, TINY.dim)
+    got_hits, hits_before = [], 0
+    for h in inputs:
+        _, st = f(model, st, h)
+        got_hits.append(int(st.hits) > hits_before)
+        hits_before = int(st.hits)
+    assert got_hits == exp_hits

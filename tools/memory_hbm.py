@@ -159,8 +159,13 @@ def offload_resident_analysis(lookahead=1):
 
     m = off.model
     resident_params = nbytes(m)
-    dual0 = off.dual.host_blocks[0]
-    single0 = off.single.host_blocks[0]
+    # stage the sample blocks onto the accelerator exactly like
+    # _StreamedBlocks.run does at serve time — host_blocks are committed to
+    # the CPU device, and lowering with CPU-resident args would compile the
+    # per-block program for CPU (where the Pallas kernels only interpret)
+    dev = jax.devices()[0]
+    dual0 = jax.device_put(off.dual.host_blocks[0], dev)
+    single0 = jax.device_put(off.single.host_blocks[0], dev)
     block_bytes = max(nbytes(dual0), nbytes(single0))
 
     img0, txt0, temb, rot = off._embed(m, hs, pe, pool, t, img_ids, txt_ids, g)
