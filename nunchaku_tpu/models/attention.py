@@ -574,11 +574,7 @@ def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None):
         rsm = jnp.where(sm == 0, 1.0, 1.0 / jnp.where(sm == 0, 1.0, sm))
         fc1_qw, fc2_qw, idx = (None, None, None) if stacked is None else stacked
         if fc1.precision == "w4a8":
-            from ..ops.gemm import (
-                _w4a8_fused,
-                dequant_w4a8_to_int8,
-                svdq_gemm_w4a4,
-            )
+            from ..ops.gemm import _w4a8_fused, svdq_gemm_w4a4
 
             if _w4a8_fused():
                 # packed chain: both kernels read int4 HBM and rescale each
@@ -601,12 +597,17 @@ def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None):
                 if bat:
                     return out[:, :s_in] if out.shape[1] != s_in else out
                 return out[:m].reshape(*lead, out.shape[-1])
-            # dequant the layer's int4 stacks to int8 once (XLA fusion; the
-            # dynamic-slice by idx fuses in) and run the int8 chain verbatim
-            w8_1 = dequant_w4a8_to_int8(
+            # dequant the layer's int4 stacks to int8 once and run the int8
+            # chain verbatim. Default route = Pallas dequant-to-HBM
+            # (dequant_w4a8_auto, NUNCHAKU_TPU_W4A8_DEQ=pallas): the w4a8
+            # ladder settled on chip at 331.2 ms/step vs 457.8 in-kernel
+            # fused and 499 XLA-fusion dequant (ops/gemm._w4a8_deq_pallas)
+            from ..ops.gemm import dequant_w4a8_auto
+
+            w8_1 = dequant_w4a8_auto(
                 fc1.qweight if fc1_qw is None else fc1_qw, fc1.rescales, idx
             )
-            w8_2 = dequant_w4a8_to_int8(
+            w8_2 = dequant_w4a8_auto(
                 fc2.qweight if fc2_qw is None else fc2_qw, fc2.rescales, idx
             )
             qout, qs, la2 = svdq_gemm_w8a8_gelu_quant(

@@ -863,11 +863,16 @@ def _w4a8_fused() -> bool:
     GELU_QUANT chain and grouped-as consumer read int4-PACKED weights and
     dequantize each stripe once into VMEM plane scratches
     (``_w4a8_dequant_stripe``) — no (K, N) int8 HBM round trip per layer.
-    This is the 4-bit-weight-memory serving mode's hot path (reference
-    gemm_w4a4.cuh:832 keeps weights 4-bit all the way into the MMA)."""
+    REJECTED as the default on chip (2026-08-19): the in-kernel dequant
+    stalls the kernels' pipelines (+101 ms/step vs the int8 chain in the
+    device trace); a separate Pallas dequant-to-HBM pass + the unmodified
+    int8 chain kernels measures 331.2 vs 457.8 ms/step. The reference keeps
+    weights 4-bit into the MMA (gemm_w4a4.cuh:832) because NVIDIA tensor
+    cores decode inline; on the TPU the MXU wants int8 operands and the
+    (K, N) int8 HBM round trip is the cheaper currency."""
     import os
 
-    return os.environ.get("NUNCHAKU_TPU_W4A8_FUSED", "1") != "0"
+    return os.environ.get("NUNCHAKU_TPU_W4A8_FUSED", "0") != "0"
 
 
 def _chain_ptoken() -> bool:
@@ -891,6 +896,7 @@ def _read_gemm_flags() -> tuple:
         _grouped_use_xla(),
         _lora_bf16_epilogue(),
         _w4a8_fused(),
+        _w4a8_deq_pallas(),
     )
 
 
@@ -997,6 +1003,116 @@ def dequant_w4a8_to_int8(qweight, rescales, layer_idx=None):
     # rescale broadcast rides the multiply (never materialized at (K, N))
     w = w4.astype(jnp.float32) * rescales.astype(jnp.float32)[:, None, :]
     return jnp.clip(jnp.round(w), -127, 127).astype(jnp.int8).reshape(k, n)
+
+
+def _w4a8_deq_pallas() -> bool:
+    """NUNCHAKU_TPU_W4A8_DEQ (default ``pallas``) routes the per-layer
+    int4->int8 dequant through a dedicated Pallas kernel instead of the XLA
+    fusion. The XLA fusion materializes the rescale broadcast as an f32
+    (K/G, G, N) HBM buffer (~113 MB per qkv layer, ~12 ms/step in the w4a8
+    trace) because the middle-axis broadcast doesn't fuse into the
+    clamp-convert; the kernel rescales in VMEM and writes only the (K, N)
+    int8 result. Settled on chip 2026-08-19: standalones 457.8 -> 424 ms,
+    and with the chain also on this route (W4A8_FUSED=0) 424 -> 331.2 ms —
+    the full w4a8 ladder is 577 (per-M-tile hybrid) / 499 (XLA dequant) /
+    457.8 (in-kernel fused dequant) / **331.2** (Pallas dequant-to-HBM +
+    int8 chain kernels), 1.07x the int8 step at 4-bit weight memory."""
+    import os
+
+    return os.environ.get("NUNCHAKU_TPU_W4A8_DEQ", "pallas") == "pallas"
+
+
+def dequant_w4a8_auto(qweight, rescales, layer_idx=None, interpret=None):
+    """Flag-dispatched per-layer dequant: the Pallas kernel when enabled
+    and the shape tiles legally (K % 256, N % 128 — Mosaic lane rules),
+    the XLA fusion otherwise. Both emit identical int8 codes (tests)."""
+    half = qweight.shape[1 if layer_idx is not None else 0]
+    n = qweight.shape[2 if layer_idx is not None else 1]
+    if _w4a8_deq_pallas() and (half * 2) % 256 == 0 and n % 128 == 0:
+        return dequant_w4a8_pallas(qweight, rescales, layer_idx,
+                                   interpret=interpret)
+    return dequant_w4a8_to_int8(qweight, rescales, layer_idx)
+
+
+def _dequant_w4a8_kernel(*refs, group, stacked_w):
+    if stacked_w:  # scalar-prefetch mode: refs[0] is the layer-index ref
+        refs = refs[1:]
+    qw_ref, rs_ref, out_ref = refs
+    # int32 shifts (Mosaic cannot legalize int8 shli)
+    wp = (qw_ref[0] if stacked_w else qw_ref[...]).astype(jnp.int32)
+    half, bn = wp.shape
+    lo = (wp << 28) >> 28
+    hi = (wp << 24) >> 28
+    rs_lo, rs_hi = _wgt_plane_scales(rs_ref[...], half * 2, group)
+    w_lo = jnp.clip(
+        jnp.round(lo.astype(jnp.float32) * rs_lo.astype(jnp.float32)),
+        -127, 127,
+    ).astype(jnp.int8)
+    w_hi = jnp.clip(
+        jnp.round(hi.astype(jnp.float32) * rs_hi.astype(jnp.float32)),
+        -127, 127,
+    ).astype(jnp.int8)
+    # packed row 128b+j holds logical rows 256b+j (lo) and 256b+128+j (hi)
+    nb = half // 128
+    out = jnp.stack(
+        [w_lo.reshape(nb, 128, bn), w_hi.reshape(nb, 128, bn)], axis=1
+    )
+    out_ref[...] = out.reshape(half * 2, bn)
+
+
+def dequant_w4a8_pallas(qweight, rescales, layer_idx=None, *,
+                        bkk=1024, bnn=None, interpret=None):
+    """Pallas counterpart of :func:`dequant_w4a8_to_int8`: same
+    clip(round(nibble*rs)) math and logical-order output, but the rescale
+    expansion happens in VMEM (two 0/1-matrix MXU dots, `_wgt_plane_scales`)
+    — HBM sees only packed int4 in and (K, N) int8 out."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    stacked = layer_idx is not None
+    half, n = (qweight.shape[1], qweight.shape[2]) if stacked else qweight.shape
+    k = half * 2
+    group = k // rescales.shape[0]
+    bkk = min(bkk, k)
+    if bnn is None:
+        bnn = _pick_dim(n, (4608, 3072, 2304, 1536, 1024, 512, 256, 128))
+    if k % bkk or n % bnn or (bkk // 2) % 128:
+        raise ValueError(f"dequant tiles ({bkk},{bnn}) don't divide ({k},{n})")
+    qw_spec = (
+        pl.BlockSpec((1, bkk // 2, bnn), lambda kk, j, L: (L[0], kk, j), memory_space=pltpu.VMEM)
+        if stacked
+        else pl.BlockSpec((bkk // 2, bnn), lambda kk, j, *_: (kk, j), memory_space=pltpu.VMEM)
+    )
+    in_specs = [
+        qw_spec,
+        pl.BlockSpec((bkk // group, bnn), lambda kk, j, *_: (kk, j), memory_space=pltpu.VMEM),
+    ]
+    inputs = [qweight, rescales.astype(jnp.bfloat16)]
+    kernel = functools.partial(_dequant_w4a8_kernel, group=group,
+                               stacked_w=stacked)
+    grid = (k // bkk, n // bnn)
+    out_spec = pl.BlockSpec((bkk, bnn), lambda kk, j, *_: (kk, j), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((k, n), jnp.int8)
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel"),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+    cost = pl.CostEstimate(flops=2 * k * n, bytes_accessed=(k // 2) * n + k * n,
+                           transcendentals=0)
+    if stacked:
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+                out_specs=out_spec,
+            ),
+            out_shape=out_shape, compiler_params=params, cost_estimate=cost,
+            interpret=interpret,
+        )(layer_idx.reshape(1).astype(jnp.int32), *inputs)
+    return pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs, out_specs=out_spec,
+        out_shape=out_shape, compiler_params=params, cost_estimate=cost,
+        interpret=interpret,
+    )(*inputs)
 
 
 def _grouped_use_xla() -> bool:
@@ -1739,7 +1855,18 @@ def _svdq_gemm_w4a4(
         interpret = jax.default_backend() == "cpu"  # tests run interpreted
     if flags is None:
         flags = _read_gemm_flags()
-    w4a8_xla, int4_xla, grouped_xla, lora_bf16, w4a8_fused = flags
+    w4a8_xla, int4_xla, grouped_xla, lora_bf16, w4a8_fused, deq_pallas = flags
+
+    def _w4a8_dequant(qw, rs, idx):
+        # standalone dequant route: Pallas kernel (NUNCHAKU_TPU_W4A8_DEQ=
+        # pallas, default) dodges the XLA fusion's materialized f32 rescale
+        # broadcast; both produce identical int8 codes. Shape guard mirrors
+        # dequant_w4a8_auto (Mosaic lane rules)
+        half = qw.shape[1 if idx is not None else 0]
+        nn = qw.shape[2 if idx is not None else 1]
+        if deq_pallas and (half * 2) % 256 == 0 and nn % 128 == 0:
+            return dequant_w4a8_pallas(qw, rs, idx, interpret=interpret)
+        return dequant_w4a8_to_int8(qw, rs, idx)
     is_int8 = precision == "int8"
     is_w4a8 = precision == "w4a8"
     stacked = layer_idx is not None
@@ -1762,7 +1889,7 @@ def _svdq_gemm_w4a4(
         if (is_w4a8 and bm is None and bn is None and bk is None
                 and not (ascales.ndim == 3 and ascales.shape[1] > 1)
                 and w4a8_xla):
-            w8 = dequant_w4a8_to_int8(qweight, rescales, layer_idx)
+            w8 = _w4a8_dequant(qweight, rescales, layer_idx)
             return _gemm_w8a8_xla(
                 qact, ascales, w8, wscales, lora_act, proj_up, bias,
                 out_dtype, lora_bf16=lora_bf16,
@@ -1853,7 +1980,7 @@ def _svdq_gemm_w4a4(
         # when no lora branch is present or NUNCHAKU_TPU_XLA_LORA_BF16=0
         # (the default-on bf16 lora epilogue adds one bf16 rounding of the
         # main term that the Pallas kernel's f32 epilogue does not)
-        w8 = dequant_w4a8_to_int8(qweight, rescales, layer_idx)
+        w8 = _w4a8_dequant(qweight, rescales, layer_idx)
         return _gemm_w8a8_xla(
             qact, ascales, w8, wscales, lora_act, proj_up, bias, out_dtype,
             lora_bf16=lora_bf16,

@@ -226,6 +226,56 @@ class TestBlockSparseAttention:
 
 
 class TestW4A8:
+    def test_dequant_pallas_matches_xla(self):
+        """dequant_w4a8_pallas (VMEM rescale, no materialized f32 broadcast)
+        must emit byte-identical int8 codes to the XLA fusion, plain and
+        stacked+layer_idx."""
+        from nunchaku_tpu.core.packing import pack_int4
+        from nunchaku_tpu.ops.gemm import (
+            dequant_w4a8_pallas,
+            dequant_w4a8_to_int8,
+        )
+
+        rng_ = np.random.default_rng(31)
+        k, n, g, L = 1024, 512, 64, 3
+        qw = jnp.asarray(np.stack([
+            np.asarray(pack_int4(rng_.integers(-7, 8, (k, n)), axis=0))
+            for _ in range(L)
+        ]))
+        rs = jnp.asarray(rng_.random((L, k // g, n)) + 0.5, jnp.bfloat16)
+        ref = dequant_w4a8_to_int8(qw[1], rs[1])
+        got = dequant_w4a8_pallas(qw[1], rs[1], bkk=512)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        got_stacked = dequant_w4a8_pallas(
+            qw, rs[1], jnp.ones((), jnp.int32), bkk=512
+        )
+        np.testing.assert_array_equal(np.asarray(got_stacked), np.asarray(ref))
+
+    def test_deq_pallas_route_matches_default(self, monkeypatch):
+        """NUNCHAKU_TPU_W4A8_DEQ=pallas through the standalone w4a8 XLA-dot
+        route must be bit-identical to the default XLA-fusion dequant (the
+        flag is part of the jit cache key)."""
+        from nunchaku_tpu.core.packing import pack_int4
+        from nunchaku_tpu.ops.gemm import svdq_gemm_w4a4
+        from nunchaku_tpu.ops.quantize import quantize_w4a4_act_fuse_lora
+
+        rng_ = np.random.default_rng(33)
+        m, k, n, g = 128, 512, 256, 64
+        x = jnp.asarray(rng_.standard_normal((m, k)), jnp.bfloat16)
+        pd = jnp.asarray(rng_.standard_normal((k, 32)) * 0.05, jnp.bfloat16)
+        pu = jnp.asarray(rng_.standard_normal((32, n)) * 0.05, jnp.bfloat16)
+        sm = jnp.asarray(np.abs(rng_.standard_normal(k)) + 0.5, jnp.bfloat16)
+        qw = jnp.asarray(pack_int4(rng_.integers(-7, 8, (k, n)), axis=0))
+        rs = jnp.asarray(rng_.random((k // g, n)) + 0.5, jnp.bfloat16)
+        ws = jnp.asarray(rng_.random((1, n)) * 0.01 + 0.001, jnp.float32)
+        qa, asc, la = quantize_w4a4_act_fuse_lora(x, pd, sm, precision="w4a8")
+        base = svdq_gemm_w4a4(qa, asc, qw, ws, la, pu,
+                              rescales=rs, precision="w4a8")
+        monkeypatch.setenv("NUNCHAKU_TPU_W4A8_DEQ", "pallas")
+        got = svdq_gemm_w4a4(qa, asc, qw, ws, la, pu,
+                             rescales=rs, precision="w4a8")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
     def test_matches_int4_weights(self):
         """w4a8 stores the *same* int4 weights as int4 mode (int8 MXU only
         changes the activation/compute path): outputs agree to the int8
