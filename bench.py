@@ -200,6 +200,42 @@ def main():
             (ma.argument_size_in_bytes + ma.output_size_in_bytes
              + ma.temp_size_in_bytes + ma.generated_code_size_in_bytes
              - ma.alias_size_in_bytes) / 2**30, 3)
+
+        # the 4-bit-weight-memory serving mode rides along: free the int8
+        # weights first (12.3 + 7.7 GiB don't coexist on a 16 GiB chip)
+        import gc
+
+        from nunchaku_tpu.models.transformers.transformer_flux import (
+            FluxConfig,
+            FluxTransformer2DModel,
+        )
+
+        # run_cached/run_natural close over pipe — drop them too or the
+        # closure cells keep the 12.3 GiB int8 weights alive
+        del pipe, ma, args, run_cached, run_natural
+        gc.collect()
+        cfg8 = FluxConfig(precision="w4a8")
+        m8 = FluxTransformer2DModel.dummy_init(cfg8)
+        m8.set_stream_dtype(jnp.bfloat16)
+        m8.enable_fused_qkv_prep()
+        args8 = _flux_inputs(cfg8, B=1, S_img=4096, S_txt=512)
+        fwd8 = jax.jit(lambda m, *a: m(*a))
+        out8 = fwd8(m8, *args8)
+        _ = float(jnp.sum(out8.astype(jnp.float32)))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out8 = fwd8(m8, *args8)
+        _ = float(jnp.sum(out8.astype(jnp.float32)))
+        w4a8_step = (time.perf_counter() - t0) / 10
+        rec["w4a8_step_s"] = round(w4a8_step, 4)
+        rec["w4a8_s_per_image"] = round(w4a8_step * 50.0, 3)
+        rec["w4a8_vs_baseline"] = round(
+            BASELINE_DEV50_S / (w4a8_step * 50.0), 4)
+        w4a8_w = sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize
+            for _, a in m8.named_parameters()
+        ) / 2**30
+        rec["w4a8_weights_gib"] = round(w4a8_w, 2)
     if dense_step is not None:
         rec["dense_step_s"] = round(dense_step, 4)
         rec["dense_s_per_image"] = round(dense_step * 50.0, 3)
