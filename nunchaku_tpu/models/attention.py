@@ -240,7 +240,8 @@ class FluxAttention(Module):
         return x
 
     def _forward_fused(self, qkv, hidden, encoder_hidden, rot, heads_local,
-                       kv_mask=None):
+                       kv_mask=None, mods_txt=None, lora_img=None,
+                       lora_prep=False):
         """Half-split prep (split+transpose+rmsnorm+rope+scale as one fused
         XLA elementwise chain — the interleaved-pair reshape that blocked
         fusion is gone) -> flash with direct (B, S, H*D) output and the
@@ -270,26 +271,50 @@ class FluxAttention(Module):
         if use_producer:
             # head-gridded Pallas producer: writes (B, H, S, D) directly,
             # no XLA transpose/layout copies (ops/attention.py
-            # qkv_rope_producer)
-            def prep(x, c, s, nq, nk):
+            # qkv_rope_producer); lora = (lora_act, proj_up) rides the
+            # kernel (lora_prep mode)
+            def prep(x, c, s, nq, nk, lora=None):
                 return qkv_rope_producer(
                     x, c, s, nq, nk, heads=heads_local,
                     head_dim=self.head_dim, q_scale=q_scale,
+                    lora_act=None if lora is None else lora[0],
+                    proj_up=None if lora is None else lora[1],
                 )
         else:
-            def prep(x, c, s, nq, nk):
+            def prep(x, c, s, nq, nk, lora=None):
+                assert lora is None  # lora_prep implies the producer path
                 return _prep_halfsplit(
                     x, c, s, nq, nk, heads_local, self.head_dim, q_scale
                 )
         if encoder_hidden is None:
-            q, k, v = prep(qkv, cos, sin, self.norm_q, self.norm_k)
+            q, k, v = prep(qkv, cos, sin, self.norm_q, self.norm_k,
+                           lora=lora_img)
             return flash_attention(
                 q, k, v, scale=1.0, out_bshd=True, fixed_softmax=True,
                 kv_mask=kv_mask,
             )
 
         s_txt = encoder_hidden.shape[1]
-        qkv_txt = self.add_qkv_proj(encoder_hidden)
+        lora_txt = None
+        if mods_txt is not None:
+            # dual block under fused LN+quantize: encoder_hidden is the RAW
+            # txt stream — LN+AdaLN-modulate rides the quantize producer
+            # exactly like the image stream's projection in __call__
+            # (regression: the fused path used to project raw txt, dropping
+            # mods[1]; random-init AdaLN mods are tiny and LN(N(0,1)) is
+            # near-identity, so only engineered-mods tests catch it)
+            if lora_prep:
+                qkv_txt, la_t = self.add_qkv_proj.forward_modulated(
+                    encoder_hidden, *mods_txt, skip_lora=True
+                )
+                if la_t is not None:
+                    lora_txt = (la_t, self.add_qkv_proj.proj_up)
+            else:
+                qkv_txt = self.add_qkv_proj.forward_modulated(
+                    encoder_hidden, *mods_txt
+                )
+        else:
+            qkv_txt = self.add_qkv_proj(encoder_hidden)
         bm_shared = None
         if use_producer:
             bm_shared = next(
@@ -305,12 +330,16 @@ class FluxAttention(Module):
                 qkv, cos[s_txt:], sin[s_txt:], self.norm_q, self.norm_k,
                 heads=heads_local, head_dim=self.head_dim, q_scale=q_scale,
                 bm=bm_shared, out_s=s_joint, s_offset=s_txt,
+                lora_act=None if lora_img is None else lora_img[0],
+                proj_up=None if lora_img is None else lora_img[1],
             )
             q, k, v = qkv_rope_producer(
                 qkv_txt, cos[:s_txt], sin[:s_txt],
                 self.norm_added_q, self.norm_added_k,
                 heads=heads_local, head_dim=self.head_dim, q_scale=q_scale,
                 bm=bm_shared, alias_outs=(q, k, v),
+                lora_act=None if lora_txt is None else lora_txt[0],
+                proj_up=None if lora_txt is None else lora_txt[1],
             )
         else:
             if use_producer:
@@ -323,11 +352,12 @@ class FluxAttention(Module):
                     " XLA half-split prep + S-axis concat",
                 )
             q_i, k_i, v_i = prep(
-                qkv, cos[s_txt:], sin[s_txt:], self.norm_q, self.norm_k
+                qkv, cos[s_txt:], sin[s_txt:], self.norm_q, self.norm_k,
+                lora=lora_img,
             )
             q_t, k_t, v_t = prep(
                 qkv_txt, cos[:s_txt], sin[:s_txt],
-                self.norm_added_q, self.norm_added_k,
+                self.norm_added_q, self.norm_added_k, lora=lora_txt,
             )
             q = jnp.concatenate([q_t, q_i], axis=2)
             k = jnp.concatenate([k_t, k_i], axis=2)
@@ -391,18 +421,6 @@ class FluxAttention(Module):
         )
         if merged and mods is not None:
             raise ValueError("fused LN+quantize is incompatible with qkv_merged")
-        if merged:
-            s_txt = encoder_hidden.shape[1]
-            qkv_joint = self.qkv_merged(encoder_hidden, hidden)
-            qkv_txt = qkv_joint[:, :s_txt]
-            qkv = qkv_joint[:, s_txt:]
-        elif qkv is not None:
-            pass  # caller-provided projection
-        elif mods is not None:
-            qkv = self.to_qkv.forward_modulated(hidden, *mods[0])
-        else:
-            qkv = self.to_qkv(hidden)
-        heads_local = qkv.shape[-1] // 3 // self.head_dim
         fused = (
             getattr(self, "prep_fused", False)
             and getattr(self, "sparsity_ratio", 0.0) == 0.0
@@ -411,9 +429,43 @@ class FluxAttention(Module):
             and not merged
             and isinstance(rot, tuple)
         )
+        # lora-up rides the rope producer: the qkv GEMM skips its low-rank
+        # epilogue (XLA's lora dot+add is a full (M, 3HD) HBM round trip —
+        # ~6.5 ms/step at FLUX 1024px) and each producer tile adds its
+        # (bm, R) @ (R, D) slice on the MXU instead
+        lora_prep = (
+            fused
+            and mods is not None
+            and qkv is None
+            and getattr(self, "prep_producer", False)
+            and self.head_dim % 128 == 0
+            and getattr(self, "lora_in_producer", True)
+        )
+        lora_img = None
+        if merged:
+            s_txt = encoder_hidden.shape[1]
+            qkv_joint = self.qkv_merged(encoder_hidden, hidden)
+            qkv_txt = qkv_joint[:, :s_txt]
+            qkv = qkv_joint[:, s_txt:]
+        elif qkv is not None:
+            pass  # caller-provided projection
+        elif mods is not None:
+            if lora_prep:
+                qkv, la = self.to_qkv.forward_modulated(
+                    hidden, *mods[0], skip_lora=True
+                )
+                if la is not None:  # None = fallback kept lora in the GEMM
+                    lora_img = (la, self.to_qkv.proj_up)
+            else:
+                qkv = self.to_qkv.forward_modulated(hidden, *mods[0])
+        else:
+            qkv = self.to_qkv(hidden)
+        heads_local = qkv.shape[-1] // 3 // self.head_dim
         if fused:
             return self._forward_fused(
-                qkv, hidden, encoder_hidden, rot, heads_local, kv_mask=kv_mask
+                qkv, hidden, encoder_hidden, rot, heads_local, kv_mask=kv_mask,
+                mods_txt=None if mods is None else mods[1],
+                lora_img=lora_img, lora_prep=lora_prep,
             )
         if isinstance(rot, tuple):
             raise ValueError(
@@ -497,11 +549,19 @@ class FeedForward(Module):
             ),
         )
 
-    def __call__(self, x, mod=None, stacked=None):
-        out = gelu_mlp(self.fc1, self.fc2, x, mod=mod, stacked=stacked)
-        if self.tp_axis is not None:  # fc2 is row-parallel under TP
+    def __call__(self, x, mod=None, stacked=None, residual=None):
+        if self.tp_axis is not None:  # fc2 is row-parallel under TP:
+            # psum the partial BEFORE the gated residual add
+            out = gelu_mlp(self.fc1, self.fc2, x, mod=mod, stacked=stacked)
             out = jax.lax.psum(out, self.tp_axis)
-        return out
+            if residual is not None:
+                from ..ops.gemm import _res_apply_xla
+
+                parts = tuple(residual) + (None,) * (5 - len(residual))
+                out = _res_apply_xla(out, *parts)
+            return out
+        return gelu_mlp(self.fc1, self.fc2, x, mod=mod, stacked=stacked,
+                        residual=residual)
 
 
 def _can_chain(fc1, fc2, m: int) -> bool:
@@ -522,8 +582,15 @@ def _can_chain(fc1, fc2, m: int) -> bool:
     )
 
 
-def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None):
+def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None,
+             residual=None):
     """fc1 -> GELU -> fc2 (reference fused_gelu_mlp, ops/fused.py:14-83).
+
+    ``residual = (x_stream, gate[, extra[, extra_lora_act, extra_proj_up]])``
+    (all (B, S, ·)): returns ``x_stream + gate * (mlp_out [+ extra +
+    extra_lora])`` — the block's gated residual add, fused into the chain
+    consumer's epilogue on the int8 route (ops/gemm.svdq_gemm_w4a4
+    residual operands) and applied as XLA ops elsewhere.
 
     int8 mode runs the fused GELU_QUANT chain: fc1's GEMM epilogue emits
     fc2's quantized activations + per-(token, tile) scales + lora_act, so
@@ -546,6 +613,37 @@ def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None):
     from .linear import _batched_b1
 
     bat = x.ndim == 3 and (x.shape[0] > 1 or _batched_b1())
+
+    def _res_parts():
+        parts = list(residual) + [None] * (5 - len(residual))
+        return parts
+
+    def _res_final(out3d):
+        # fallback: apply the gated residual on the (B, S, N) output
+        from ..ops.gemm import _res_apply_xla
+
+        return _res_apply_xla(out3d, *_res_parts())
+
+    def _res_for_gemm(qact):
+        """(B, S, ·) residual arrays -> the GEMM call's operand form (2D
+        flattened when the chain runs flat); None if the padded row count
+        diverged (caller applies the residual after slicing instead)."""
+        if residual is None:
+            return None
+        xr, gate, ex, ela, epu = _res_parts()
+        if bat:
+            if qact.ndim != 3 or xr.shape[1] != qact.shape[1]:
+                return None
+            return (xr, gate, ex, ela, epu)
+        mm = qact.shape[0]
+        if qact.ndim != 2 or xr.shape[0] * xr.shape[1] != mm:
+            return None
+
+        def f(a):
+            return None if a is None else a.reshape(mm, a.shape[-1])
+
+        return (f(xr), gate.reshape(1, -1), f(ex), f(ela), epu)
+
     if _can_chain(fc1, fc2, m):
         s_in = x.shape[1] if bat else None
         if pre_quant is not None:
@@ -589,14 +687,20 @@ def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None):
                     gelu_shift=GELU_SHIFT, layer_idx=idx,
                     rescales=fc1.rescales, precision="w4a8",
                 )
+                res_n = _res_for_gemm(qout)
                 out = svdq_gemm_w4a4(
                     qout, qs, fc2.qweight if fc2_qw is None else fc2_qw,
                     fc2.wscales, la2, fc2.proj_up, fc2.bias,
                     rescales=fc2.rescales, precision="w4a8", layer_idx=idx,
+                    residual=res_n,
                 )
                 if bat:
-                    return out[:, :s_in] if out.shape[1] != s_in else out
-                return out[:m].reshape(*lead, out.shape[-1])
+                    out = out[:, :s_in] if out.shape[1] != s_in else out
+                else:
+                    out = out[:m].reshape(*lead, out.shape[-1])
+                if residual is not None and res_n is None:
+                    out = _res_final(out)
+                return out
             # dequant the layer's int4 stacks to int8 once and run the int8
             # chain verbatim. Default route = Pallas dequant-to-HBM
             # (dequant_w4a8_auto, NUNCHAKU_TPU_W4A8_DEQ=pallas): the w4a8
@@ -616,13 +720,18 @@ def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None):
                 act_unsigned_next=bool(fc2.act_unsigned),
                 gelu_shift=GELU_SHIFT,
             )
+            res_n = _res_for_gemm(qout)
             out = svdq_gemm_w4a4(
                 qout, qs, w8_2, fc2.wscales, la2, fc2.proj_up, fc2.bias,
-                precision="int8",
+                precision="int8", residual=res_n,
             )
             if bat:
-                return out[:, :s_in] if out.shape[1] != s_in else out
-            return out[:m].reshape(*lead, out.shape[-1])
+                out = out[:, :s_in] if out.shape[1] != s_in else out
+            else:
+                out = out[:m].reshape(*lead, out.shape[-1])
+            if residual is not None and res_n is None:
+                out = _res_final(out)
+            return out
         from ..ops.gemm import _chain_ptoken
 
         qout, qs, la2 = svdq_gemm_w8a8_gelu_quant(
@@ -631,10 +740,16 @@ def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None):
             rsm, fc2.proj_down, act_unsigned_next=bool(fc2.act_unsigned),
             gelu_shift=GELU_SHIFT, layer_idx=idx, ptoken=_chain_ptoken(),
         )
-        out = fc2.forward_quant(qout, qs, la2, qweight=fc2_qw, layer_idx=idx)
+        res_n = _res_for_gemm(qout)
+        out = fc2.forward_quant(qout, qs, la2, qweight=fc2_qw, layer_idx=idx,
+                                residual=res_n)
         if bat:
-            return out[:, :s_in] if out.shape[1] != s_in else out
-        return out[:m].reshape(*lead, out.shape[-1])
+            out = out[:, :s_in] if out.shape[1] != s_in else out
+        else:
+            out = out[:m].reshape(*lead, out.shape[-1])
+        if residual is not None and res_n is None:
+            out = _res_final(out)
+        return out
     if mod is not None:
         from .normalization import layer_norm
 
@@ -646,4 +761,5 @@ def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None):
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True)
     # fc2.act_unsigned adds GELU_SHIFT inside its quantize step; the
     # shifted values are >= 0 (gelu min is about -0.17).
-    return fc2(h.astype(jnp.bfloat16))
+    out = fc2(h.astype(jnp.bfloat16))
+    return out if residual is None else _res_final(out)

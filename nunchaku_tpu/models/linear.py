@@ -266,11 +266,15 @@ class SVDQW4A4Linear(Module):
         )
 
     def forward_quant(self, qact, ascales_t, lora_act,
-                      qweight=None, layer_idx=None):
+                      qweight=None, layer_idx=None, skip_lora=False,
+                      residual=None):
         # qweight/layer_idx: stacked (L, K, N) weights + scan layer index —
         # the kernel reads the layer's tiles via scalar prefetch instead of
         # XLA materializing a per-block dynamic-slice copy (ops/gemm.py).
         # Defaults from attach_stacked_weights() when not passed explicitly.
+        # skip_lora: omit the low-rank epilogue — the caller adds
+        # lora_act @ proj_up itself (e.g. fused into the qkv/rope producer,
+        # ops/attention.qkv_rope_producer lora operands).
         if qweight is None and layer_idx is None:
             qweight = getattr(self, "_stacked_qweight", None)
             if qweight is not None:
@@ -280,22 +284,55 @@ class SVDQW4A4Linear(Module):
             ascales_t,
             self.qweight if qweight is None else qweight,
             self.wscales,
-            lora_act,
-            self.proj_up,
+            None if skip_lora else lora_act,
+            None if skip_lora else self.proj_up,
             self.bias,
             self.rescales,
             precision=self.precision,
             act_unsigned=self.act_unsigned,
             layer_idx=layer_idx,
+            residual=residual,
         )
 
+    def forward_parts(self, x: jnp.ndarray):
+        """Like ``__call__`` but skips the low-rank epilogue and returns
+        ``(out_without_lora, lora_act)`` so the caller can fuse the lora
+        add downstream (e.g. into the chain consumer's gated-residual
+        epilogue, ops/gemm.svdq_gemm_w4a4 residual operands)."""
+        lead = x.shape[:-1]
+        m = math.prod(lead)
+        kp = self.qweight.shape[0] * (1 if self.precision == "int8" else 2)
+        if x.ndim == 3 and (x.shape[0] > 1 or _batched_b1()):
+            b, s, k = x.shape
+            if k < kp:
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, kp - k)))
+            q, a, la = jax.vmap(self.quantize)(x)
+            out = self.forward_quant(q, a, la, skip_lora=True)
+            if self.logical_out < out.shape[-1]:
+                out = out[..., : self.logical_out]
+            return out[:, :s], la[:, :s]
+        x2d = x.reshape(m, x.shape[-1])
+        if x2d.shape[-1] < kp:
+            x2d = jnp.pad(x2d, ((0, 0), (0, kp - x2d.shape[-1])))
+        q, a, la = self.quantize(x2d)
+        out = self.forward_quant(q, a, la, skip_lora=True)
+        if self.logical_out < out.shape[-1]:
+            out = out[:, : self.logical_out]
+        return (out[:m].reshape(*lead, out.shape[-1]),
+                la[:m].reshape(*lead, la.shape[-1]))
+
     def forward_modulated(self, x: jnp.ndarray, scale: jnp.ndarray,
-                          shift: jnp.ndarray) -> jnp.ndarray:
+                          shift: jnp.ndarray, skip_lora: bool = False):
         """``LN(x) * (1 + scale) + shift`` -> this linear, with the fused
         Pallas producer on the int8 path (ln_mod_quant_int8: one HBM read
         replaces the XLA LN / modulate / quantize passes; standalone A/B
         9.3 -> 1.6 ms at FLUX img shapes). x is (B, S, K); scale/shift
-        (B, K) AdaLN vectors pre-adjusted for (1 + scale)."""
+        (B, K) AdaLN vectors pre-adjusted for (1 + scale).
+
+        skip_lora: return ``(out_without_lora, lora_act (B, S, R))`` so the
+        caller can fuse the low-rank add downstream (the qkv/rope producer
+        takes it as an operand — skipping the GEMM-side epilogue kills
+        XLA's full-width lora round-trip fusion)."""
         b, s, k = x.shape
         bm = next((c for c in (512, 384, 256, 128, 64, 32, 16, 8) if s % c == 0), None)
         from ..ops.gemm import _w4a8_use_xla
@@ -319,10 +356,13 @@ class SVDQW4A4Linear(Module):
                 x.astype(jnp.bfloat16), scale, shift, self.smooth,
                 self.proj_down, bm=bm, flatten=flat,
             )
-            out = self.forward_quant(q, asc, la)
+            out = self.forward_quant(q, asc, la, skip_lora=skip_lora)
             if self.logical_out < out.shape[-1]:
                 out = out[..., : self.logical_out]
-            return out.reshape(b, s, -1) if flat else out
+            out = out.reshape(b, s, -1) if flat else out
+            if skip_lora:
+                return out, la.reshape(b, s, -1) if flat else la
+            return out
         if self.precision in ("int8", "w4a8") and not self.act_unsigned:
             from ..utils.warn import warn_once
 
@@ -339,7 +379,12 @@ class SVDQW4A4Linear(Module):
             layer_norm(x) * (1.0 + scale.astype(jnp.float32))[:, None]
             + shift.astype(jnp.float32)[:, None]
         )
-        return self(y.astype(jnp.bfloat16))
+        out = self(y.astype(jnp.bfloat16))
+        if skip_lora:
+            # fallback path keeps lora inside the GEMM; None tells the
+            # caller not to add it again
+            return out, None
+        return out
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         lead = x.shape[:-1]

@@ -52,6 +52,16 @@ def set_fused_ln_quant(enabled: bool) -> None:
     FUSED_LN_QUANT = bool(enabled)
 
 
+# Gated-residual adds fused into the chain consumer's epilogue
+# (ops/gemm.svdq_gemm_w4a4 residual operands). Toggle for A/B.
+RES_EPILOGUE = True
+
+
+def set_res_epilogue(enabled: bool) -> None:
+    global RES_EPILOGUE
+    RES_EPILOGUE = bool(enabled)
+
+
 def _ln_producer_ok(lin) -> bool:
     """The ln_mod_quant_int8 producer applies when the consumer takes
     per-token int8 activations: int8 always; w4a8 only on the XLA
@@ -171,20 +181,31 @@ class FluxTransformerBlock(Module):
         if len(attn_outs) == 3:  # IP-Adapter residual (transformer_flux_v2.py:238)
             img = (img + ip_scale * attn_outs[2].astype(jnp.float32)).astype(sdt)
         stk_ff, stk_ffc = ff_stacked if ff_stacked is not None else (None, None)
-        if fused_ln:
+        if fused_ln and RES_EPILOGUE:
+            # the gated residual add rides the chain consumer's epilogue
+            # (ops/gemm.svdq_gemm_w4a4 residual operands) — the ff output
+            # never round-trips HBM for a separate XLA add fusion
+            img = self.ff(img, mod=(scale_mlp, shift_mlp), stacked=stk_ff,
+                          residual=(img, gate_mlp))
+        elif fused_ln:
             ff_out = self.ff(img, mod=(scale_mlp, shift_mlp), stacked=stk_ff)
+            img = (img + gate_mlp[:, None] * ff_out.astype(jnp.float32)).astype(sdt)
         else:
             h = layer_norm(img) * (1.0 + scale_mlp[:, None]) + shift_mlp[:, None]
             ff_out = self.ff(h.astype(attn_img.dtype), stacked=stk_ff)
-        img = (img + gate_mlp[:, None] * ff_out.astype(jnp.float32)).astype(sdt)
+            img = (img + gate_mlp[:, None] * ff_out.astype(jnp.float32)).astype(sdt)
 
         txt = (txt + c_gate_msa[:, None] * attn_txt.astype(jnp.float32)).astype(sdt)
-        if fused_ln:
+        if fused_ln and RES_EPILOGUE:
+            txt = self.ff_context(txt, mod=(c_scale_mlp, c_shift_mlp),
+                                  stacked=stk_ffc, residual=(txt, c_gate_mlp))
+        elif fused_ln:
             ffc_out = self.ff_context(txt, mod=(c_scale_mlp, c_shift_mlp), stacked=stk_ffc)
+            txt = (txt + c_gate_mlp[:, None] * ffc_out.astype(jnp.float32)).astype(sdt)
         else:
             h = layer_norm(txt) * (1.0 + c_scale_mlp[:, None]) + c_shift_mlp[:, None]
             ffc_out = self.ff_context(h.astype(attn_txt.dtype), stacked=stk_ffc)
-        txt = (txt + c_gate_mlp[:, None] * ffc_out.astype(jnp.float32)).astype(sdt)
+            txt = (txt + c_gate_mlp[:, None] * ffc_out.astype(jnp.float32)).astype(sdt)
         return tap("dual.img_out", img), tap("dual.txt_out", txt)
 
 
@@ -238,6 +259,20 @@ class FluxSingleTransformerBlock(Module):
             # ops/quantize.py for narrower-stream models.)
             shift_msa, scale_msa, gate = self.norm.mod_vectors(temb, mod=mod)
             attn = self.attn(x, None, rot, mods=((scale_msa, shift_msa), None))
+            if self.tp_axis is None and RES_EPILOGUE:
+                # x + gate*(attn_out + mlp) fused into the chain consumer's
+                # epilogue: attn_out's main term enters as the `extra`
+                # operand and its low-rank branch as (lora_act, proj_up) —
+                # the XLA lora-add + residual fusion's full-width HBM pass
+                # disappears (round-4 trace fusion.506, ~8 ms/step)
+                attn_main, attn_la = self.attn_out.forward_parts(attn)
+                out = gelu_mlp(
+                    self.mlp_fc1, self.mlp_fc2, x,
+                    mod=(scale_msa, shift_msa), stacked=mlp_stacked,
+                    residual=(x, gate, attn_main, attn_la,
+                              self.attn_out.proj_up),
+                )
+                return tap("single.out", out.astype(x.dtype))
             mlp = gelu_mlp(self.mlp_fc1, self.mlp_fc2, x,
                            mod=(scale_msa, shift_msa), stacked=mlp_stacked)
         else:
@@ -344,9 +379,13 @@ class FluxTransformer2DModel(Module):
         in the flash kernel's (B, H, S, D) layout — no XLA transpose or
         layout copies. Measured on one v5e at FLUX 1024px: 359.5 ms/step vs
         389.0 unfused and 418.3 with the XLA half-split chain
-        (``producer=False``). Semantics-preserving; call once after
-        load/init + LoRA (and before parallelize()). Not compatible with
-        IP-Adapter injection (ip_kv needs the unfused layout)."""
+        (``producer=False``). With the producer, the qkv GEMM's low-rank
+        (lora) epilogue also moves into the producer tiles (lora_in_producer,
+        default on): XLA otherwise materializes the lora dot+add as a full
+        (M, 3HD) HBM round-trip fusion (~6.5 ms/step at 1024px).
+        Semantics-preserving; call once after load/init + LoRA (and before
+        parallelize()). Not compatible with IP-Adapter injection (ip_kv
+        needs the unfused layout)."""
         permute_qk_halfsplit(self.transformer_blocks.attn)
         permute_qk_halfsplit(self.single_transformer_blocks.attn)
         if producer:

@@ -157,18 +157,32 @@ def qkv_prepare(
 
 def _qkv_rope_producer_kernel(
     xq_ref, xk_ref, xv_ref, c_ref, s_ref, wq_ref, wk_ref,
-    *rest, eps, q_scale, half, n_alias=0,
+    *rest, eps, q_scale, half, n_alias=0, has_lora=False,
 ):
-    # trailing refs: [n_alias ANY-space aliased buffers], q, k, v outputs
+    # trailing refs: [lora_act + 3 proj_up views if has_lora],
+    # [n_alias ANY-space aliased buffers], q, k, v outputs
+    la_ref = puq_ref = puk_ref = puv_ref = None
+    if has_lora:
+        la_ref, puq_ref, puk_ref, puv_ref = rest[:4]
+        rest = rest[4:]
     q_ref, k_ref, v_ref = rest[n_alias:]
     """One (token-block, head) cell: rmsnorm + half-split rope on a
     (bm, D) tile. No in-VMEM transpose anywhere — the head-major output
-    layout comes from the grid's head axis + output index_map."""
+    layout comes from the grid's head axis + output index_map. With
+    has_lora, each tile first adds its (bm, R) @ (R, D) low-rank slice —
+    the GEMM skips its lora epilogue, killing XLA's full (M, 3HD) lora
+    round-trip fusion (~6.5 ms/step at FLUX 1024px, fusion.503 in the
+    round-4 trace)."""
     c = c_ref[...].astype(jnp.float32)  # (bm, D)
     s = s_ref[...].astype(jnp.float32)
+    la = la_ref[0].astype(jnp.bfloat16) if has_lora else None  # (bm, R)
 
-    def prep(ref, w_ref, scale):
+    def prep(ref, w_ref, scale, pu_ref):
         a = ref[0].astype(jnp.float32)  # (bm, D)
+        if pu_ref is not None:
+            a = a + jax.lax.dot(
+                la, pu_ref[...], preferred_element_type=jnp.float32
+            )
         ms = jnp.mean(a * a, axis=-1, keepdims=True)
         a = a * jax.lax.rsqrt(ms + eps) * w_ref[...].astype(jnp.float32)
         rolled = pltpu.roll(a, half, axis=1)  # [a2 | a1]
@@ -177,9 +191,15 @@ def _qkv_rope_producer_kernel(
             out = out * scale
         return out.astype(q_ref.dtype)
 
-    q_ref[0, 0] = prep(xq_ref, wq_ref, q_scale)
-    k_ref[0, 0] = prep(xk_ref, wk_ref, 1.0)
-    v_ref[0, 0] = xv_ref[0].astype(v_ref.dtype)
+    q_ref[0, 0] = prep(xq_ref, wq_ref, q_scale, puq_ref)
+    k_ref[0, 0] = prep(xk_ref, wk_ref, 1.0, puk_ref)
+    if has_lora:
+        v = xv_ref[0].astype(jnp.float32) + jax.lax.dot(
+            la, puv_ref[...], preferred_element_type=jnp.float32
+        )
+        v_ref[0, 0] = v.astype(v_ref.dtype)
+    else:
+        v_ref[0, 0] = xv_ref[0].astype(v_ref.dtype)
 
 
 @functools.partial(
@@ -204,6 +224,8 @@ def qkv_rope_producer(
     out_s: int | None = None,   # total S of the output buffers (>= S)
     s_offset: int = 0,          # row offset of this call's stream
     alias_outs=None,            # (q, k, v) (B, H, out_s, D) to write into
+    lora_act: jnp.ndarray | None = None,  # (B, S, R) f32 low-rank act
+    proj_up: jnp.ndarray | None = None,   # (R, 3*H*D) bf16 lora up proj
     interpret: bool | None = None,
 ):
     """-> q, k, v each (B, H, S, D) bf16, normed + rotated (+ q prescaled).
@@ -258,11 +280,16 @@ def qkv_rope_producer(
             qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
             cos = jnp.pad(cos, ((0, pad), (0, 0)))
             sin = jnp.pad(sin, ((0, pad), (0, 0)))
+            if lora_act is not None:
+                lora_act = jnp.pad(lora_act, ((0, 0), (0, pad), (0, 0)))
         out_s = s + pad
         s_offset = 0
     sp = s + pad
     d = head_dim
     off = s_offset // bm
+    has_lora = lora_act is not None
+    if has_lora and proj_up is None:
+        raise ValueError("lora_act without proj_up")
 
     in_specs = [
         pl.BlockSpec((1, bm, d), lambda bi, i, h: (bi, i, h)),
@@ -278,6 +305,16 @@ def qkv_rope_producer(
         cos.astype(jnp.float32), sin.astype(jnp.float32),
         norm_q.reshape(1, d), norm_k.reshape(1, d),
     ]
+    if has_lora:
+        r = lora_act.shape[-1]
+        in_specs += [
+            pl.BlockSpec((1, bm, r), lambda bi, i, h: (bi, i, 0)),
+            pl.BlockSpec((r, d), lambda bi, i, h: (0, h)),
+            pl.BlockSpec((r, d), lambda bi, i, h, H=heads: (0, H + h)),
+            pl.BlockSpec((r, d), lambda bi, i, h, H=heads: (0, 2 * H + h)),
+        ]
+        pu = proj_up.astype(jnp.bfloat16)
+        operands += [lora_act.astype(jnp.float32), pu, pu, pu]
     aliases = {}
     if alias_outs is not None:
         for j, a in enumerate(alias_outs):
@@ -289,7 +326,7 @@ def qkv_rope_producer(
         functools.partial(
             _qkv_rope_producer_kernel,
             eps=eps, q_scale=q_scale, half=d // 2,
-            n_alias=len(aliases),
+            n_alias=len(aliases), has_lora=has_lora,
         ),
         grid=(b, sp // bm, heads),
         in_specs=in_specs,

@@ -342,9 +342,16 @@ def _gemm_w4a8h_kernel(*refs, group, has_lora, has_bias, out_dtype,
 
 
 def _gemm_w8a8_kernel(*refs, has_lora, has_bias, out_dtype, grouped_as=False,
-                      stacked_w=False):
+                      stacked_w=False, n_res=0, has_extra=False,
+                      has_extra_lora=False):
     if stacked_w:  # scalar-prefetch mode: refs[0] is the layer-index ref
         refs = refs[1:]
+    # gated-residual epilogue operands sit between the regular inputs and
+    # the (out, acc) trailing refs: x, gate[, extra[, extra_la, extra_pu]]
+    res_refs = ()
+    if n_res:
+        res_refs = refs[-2 - n_res:-2]
+        refs = refs[:-2 - n_res] + refs[-2:]
     qa_ref, as_ref, qw_ref, ws_ref, la_ref, pu_ref, b_ref, out_ref, acc_ref = (
         _split_refs(refs, has_lora, has_bias)
     )
@@ -385,6 +392,24 @@ def _gemm_w8a8_kernel(*refs, has_lora, has_bias, out_dtype, grouped_as=False,
             )
         if has_bias:
             out = out + b_ref[...].astype(jnp.float32)
+        if n_res:
+            # out' = x + gate * (round(out) + round(extra + extra_lora)):
+            # the rounds mimic the unfused path's bf16 materializations of
+            # the mlp output and the attn_out projection, so the fused
+            # epilogue matches it to the same rounding
+            x_ref, g_ref = res_refs[0], res_refs[1]
+            t = out.astype(out_dtype).astype(jnp.float32)
+            if has_extra:
+                e = res_refs[2][...].astype(jnp.float32)
+                if has_extra_lora:
+                    e = e + jnp.dot(
+                        res_refs[3][...].astype(jnp.bfloat16),
+                        res_refs[4][...],
+                        preferred_element_type=jnp.float32,
+                    )
+                e = e.astype(jnp.bfloat16).astype(jnp.float32)
+                t = t + e
+            out = x_ref[...].astype(jnp.float32) + g_ref[...].astype(jnp.float32) * t
         out_ref[...] = out.astype(out_dtype)
 
 
@@ -1786,19 +1811,60 @@ def svdq_gemm_w4a4(
     bn: int | None = None,
     bk: int | None = None,
     layer_idx: jnp.ndarray | None = None,
+    residual=None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Public entry: snapshots the route-selection env flags outside jit so
     they key the compiled-executable cache (see :func:`_read_gemm_flags`;
     an env flip between two same-shape calls retraces instead of silently
     reusing the first route's executable). See :func:`_svdq_gemm_w4a4` for
-    the layout/semantics contract."""
+    the layout/semantics contract.
+
+    ``residual = (x, gate[, extra[, extra_lora_act, extra_proj_up]])``
+    computes ``x + gate * (round(out) + round(extra + extra_lora))`` —
+    the transformer block's gated residual add, fused into the Pallas
+    grouped-as consumer's epilogue on the int8 chain route (other routes
+    apply it as XLA ops, same rounding semantics). ``gate`` is the (B, N)
+    AdaLN gate vector; ``extra`` an already-computed partial (e.g. the
+    single block's attn_out main term with its low-rank branch passed
+    separately so its full-width XLA add fusion disappears)."""
+    res = None
+    if residual is not None:
+        res = tuple(residual) + (None,) * (5 - len(residual))
     return _svdq_gemm_w4a4(
         qact, ascales, qweight, wscales, lora_act, proj_up, bias, rescales,
         precision=precision, act_unsigned=act_unsigned, out_dtype=out_dtype,
         bm=bm, bn=bn, bk=bk, layer_idx=layer_idx, interpret=interpret,
         flags=_read_gemm_flags(),
+        res_x=None if res is None else res[0],
+        res_gate=None if res is None else res[1],
+        res_extra=None if res is None else res[2],
+        res_ela=None if res is None else res[3],
+        res_epu=None if res is None else res[4],
     )
+
+
+def _res_apply_xla(out, res_x, res_gate, res_extra, res_ela, res_epu):
+    """XLA form of the gated-residual epilogue (for routes that don't fuse
+    it in-kernel). Matches the kernel's rounding: the main term arrives
+    already rounded to out dtype; extra + extra_lora round to bf16 once."""
+    t = out.astype(jnp.float32)
+    if res_extra is not None:
+        e = res_extra.astype(jnp.float32)
+        if res_ela is not None:
+            e = e + jax.lax.dot_general(
+                res_ela.astype(jnp.bfloat16), res_epu.astype(jnp.bfloat16),
+                (((res_ela.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        e = e.astype(jnp.bfloat16).astype(jnp.float32)
+        t = t + e
+    g = res_gate.astype(jnp.float32)
+    if out.ndim == 3:
+        g = g.reshape(g.shape[0], 1, g.shape[-1])
+    else:
+        g = g.reshape(1, g.shape[-1])
+    return (res_x.astype(jnp.float32) + g * t).astype(out.dtype)
 
 
 @functools.partial(
@@ -1833,6 +1899,11 @@ def _svdq_gemm_w4a4(
     layer_idx: jnp.ndarray | None = None,
     interpret: bool | None = None,
     flags: tuple | None = None,
+    res_x: jnp.ndarray | None = None,
+    res_gate: jnp.ndarray | None = None,
+    res_extra: jnp.ndarray | None = None,
+    res_ela: jnp.ndarray | None = None,
+    res_epu: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Quantized GEMM: ``dequant(qact) @ dequant(qweight) + lora + bias``.
 
@@ -1856,6 +1927,14 @@ def _svdq_gemm_w4a4(
     if flags is None:
         flags = _read_gemm_flags()
     w4a8_xla, int4_xla, grouped_xla, lora_bf16, w4a8_fused, deq_pallas = flags
+
+    have_res = res_x is not None
+
+    def _fin(o):
+        # gated-residual epilogue for routes that don't fuse it in-kernel
+        if not have_res:
+            return o
+        return _res_apply_xla(o, res_x, res_gate, res_extra, res_ela, res_epu)
 
     def _w4a8_dequant(qw, rs, idx):
         # standalone dequant route: Pallas kernel (NUNCHAKU_TPU_W4A8_DEQ=
@@ -1882,28 +1961,35 @@ def _svdq_gemm_w4a4(
             grouped3 = ascales.ndim == 3 and ascales.shape[1] > 1
             if not grouped3 and _int8_use_xla(m3, qact.shape[2],
                                               qweight.shape[-1]):
-                return _gemm_w8a8_xla(
+                return _fin(_gemm_w8a8_xla(
                     qact, ascales, qweight, wscales, lora_act, proj_up,
                     bias, out_dtype, lora_bf16=lora_bf16,
-                )
+                ))
         if (is_w4a8 and bm is None and bn is None and bk is None
                 and not (ascales.ndim == 3 and ascales.shape[1] > 1)
                 and w4a8_xla):
             w8 = _w4a8_dequant(qweight, rescales, layer_idx)
-            return _gemm_w8a8_xla(
+            return _fin(_gemm_w8a8_xla(
                 qact, ascales, w8, wscales, lora_act, proj_up, bias,
                 out_dtype, lora_bf16=lora_bf16,
-            )
+            ))
         fn = functools.partial(
             _svdq_gemm_w4a4, precision=precision, act_unsigned=act_unsigned,
             out_dtype=out_dtype, bm=bm, bn=bn, bk=bk, interpret=interpret,
             flags=flags,
         )
         return jax.vmap(
-            lambda q, a, la: fn(q, a, qweight, wscales, la, proj_up, bias,
-                                rescales, layer_idx=layer_idx),
-            in_axes=(0, 0, 0 if lora_act is not None else None),
-        )(qact, ascales, lora_act)
+            lambda q, a, la, rx, rg, re, rl: fn(
+                q, a, qweight, wscales, la, proj_up, bias, rescales,
+                layer_idx=layer_idx, res_x=rx, res_gate=rg, res_extra=re,
+                res_ela=rl, res_epu=res_epu,
+            ),
+            in_axes=(0, 0, 0 if lora_act is not None else None,
+                     0 if res_x is not None else None,
+                     0 if res_gate is not None else None,
+                     0 if res_extra is not None else None,
+                     0 if res_ela is not None else None),
+        )(qact, ascales, lora_act, res_x, res_gate, res_extra, res_ela)
 
     m = qact.shape[0]
     k = qact.shape[1] * (1 if (is_int8 or is_w4a8) else 2)
@@ -1935,10 +2021,10 @@ def _svdq_gemm_w4a4(
     if (is_int8 and not grouped_as and not stacked
             and bm is None and bn is None and bk is None
             and _int8_use_xla(m, k, n)):
-        return _gemm_w8a8_xla(
+        return _fin(_gemm_w8a8_xla(
             qact, ascales, qweight, wscales, lora_act, proj_up, bias,
             out_dtype, lora_bf16=lora_bf16,
-        )
+        ))
 
     if grouped_as and grouped_xla and is_int8:
         # chain consumer on XLA: one int8 dot per K scale-group, each
@@ -1949,29 +2035,29 @@ def _svdq_gemm_w4a4(
         # Opt-in; A/B measured on chip 2026-08-19: 353.7 vs 319.8 ms/step for
         # the Pallas grouped-as kernel - stays opt-in (the Ga partial adds
         # cost ~34 ms/step, not the ~0.1 ms estimated).
-        return _gemm_grouped_xla(
+        return _fin(_gemm_grouped_xla(
             qact, ascales, qweight, wscales, lora_act, proj_up, bias,
             out_dtype, layer_idx=layer_idx,
-        )
+        ))
 
     if (precision in ("int4", "nvfp4") and bm is None and bn is None
             and bk is None and int4_xla):
-        return _gemm_w4a4_xla(
+        return _fin(_gemm_w4a4_xla(
             qact, ascales, qweight, wscales, lora_act, proj_up, bias,
             precision=precision, act_unsigned=act_unsigned,
             out_dtype=out_dtype, layer_idx=layer_idx, lora_bf16=lora_bf16,
-        )
+        ))
 
     if is_w4a8 and grouped_as:
         # chain consumer on packed int4 weights: the hoisted-dequant kernel
         # rescales each weight stripe ONCE into VMEM plane scratches and
         # contracts the producer's grouped-scale int8 activations — the
         # 4-bit fc1->fc2 chain never materializes an int8 (K, N) buffer
-        return _gemm_w4a8_hoisted(
+        return _fin(_gemm_w4a8_hoisted(
             qact, ascales, qweight, rescales, wscales, lora_act, proj_up,
             bias, out_dtype=out_dtype, grouped_as=True, bm=bm, bn=bn, bk=bk,
             layer_idx=layer_idx, interpret=interpret,
-        )
+        ))
 
     if (is_w4a8 and bm is None and bn is None and bk is None and w4a8_xla):
         # standalone w4a8: dequant the layer's int4 weights to int8 in-graph
@@ -1981,20 +2067,20 @@ def _svdq_gemm_w4a4(
         # (the default-on bf16 lora epilogue adds one bf16 rounding of the
         # main term that the Pallas kernel's f32 epilogue does not)
         w8 = _w4a8_dequant(qweight, rescales, layer_idx)
-        return _gemm_w8a8_xla(
+        return _fin(_gemm_w8a8_xla(
             qact, ascales, w8, wscales, lora_act, proj_up, bias, out_dtype,
             lora_bf16=lora_bf16,
-        )
+        ))
 
     if is_w4a8 and bm is None and bn is None and bk is None:
         # W4A8_XLA=0 Pallas route: hoisted-dequant kernel (each weight
         # element rescaled once per call, not once per M-tile — the round-3
         # per-M-tile hybrid measured 577 vs 499 ms/step on chip)
-        return _gemm_w4a8_hoisted(
+        return _fin(_gemm_w4a8_hoisted(
             qact, ascales, qweight, rescales, wscales, lora_act, proj_up,
             bias, out_dtype=out_dtype, grouped_as=False, bm=None, bn=None,
             bk=None, layer_idx=layer_idx, interpret=interpret,
-        )
+        ))
 
     if is_int8 and bm is None and bn is None and bk is None:
         tuned = _TUNED_INT8.get((k, n))
@@ -2041,9 +2127,14 @@ def _svdq_gemm_w4a4(
             qw_spec,
             pl.BlockSpec((1, bn), lambda i, j, kk, *_: (0, j), memory_space=pltpu.VMEM),
         ]
+        n_res = 0
+        if have_res:
+            n_res = 2 + (res_extra is not None) + 2 * (res_ela is not None)
         kernel = functools.partial(
             _gemm_w8a8_kernel, has_lora=has_lora, has_bias=has_bias,
             out_dtype=out_dtype, grouped_as=grouped_as, stacked_w=stacked,
+            n_res=n_res, has_extra=res_extra is not None,
+            has_extra_lora=res_ela is not None,
         )
         asc = ascales.astype(jnp.float32)
         if grouped_as:
@@ -2111,7 +2202,26 @@ def _svdq_gemm_w4a4(
             pl.BlockSpec((1, bn), lambda i, j, kk, *_: (0, j), memory_space=pltpu.VMEM)
         )
         inputs.append(bias.reshape(1, n))
-
+    res_fused = is_int8 and have_res
+    if res_fused:
+        # gated-residual epilogue operands (kernel n_res block)
+        in_specs += [
+            pl.BlockSpec((bm, bn), lambda i, j, kk, *_: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk, *_: (0, j), memory_space=pltpu.VMEM),
+        ]
+        inputs += [res_x, res_gate.reshape(1, n)]
+        if res_extra is not None:
+            in_specs.append(
+                pl.BlockSpec((bm, bn), lambda i, j, kk, *_: (i, j), memory_space=pltpu.VMEM)
+            )
+            inputs.append(res_extra)
+        if res_ela is not None:
+            r2 = res_ela.shape[-1]
+            in_specs += [
+                pl.BlockSpec((bm, r2), lambda i, j, kk, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((r2, bn), lambda i, j, kk, *_: (0, j), memory_space=pltpu.VMEM),
+            ]
+            inputs += [res_ela, res_epu.astype(jnp.bfloat16)]
     flops = 2 * m * n * k + (2 * m * n * (lora_act.shape[1] if has_lora else 0))
     out_spec = pl.BlockSpec((bm, bn), lambda i, j, kk, *_: (i, j), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((m, n), out_dtype)
@@ -2128,7 +2238,7 @@ def _svdq_gemm_w4a4(
         transcendentals=0,
     )
     if stacked:
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -2142,14 +2252,16 @@ def _svdq_gemm_w4a4(
             cost_estimate=cost,
             interpret=interpret,
         )(layer_idx.reshape(1).astype(jnp.int32), *inputs)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=out_shape,
-        scratch_shapes=scratch_shapes,
-        compiler_params=compiler_params,
-        cost_estimate=cost,
-        interpret=interpret,
-    )(*inputs)
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*inputs)
+    return out if res_fused else _fin(out)

@@ -154,6 +154,123 @@ class TestFusedQKVPrep:
             assert err < (6e-2 if precision == "int4" else 2e-2), err
 
 
+def test_dual_mods_reach_txt_projection_on_fused_path():
+    """Regression: the fused attention path (prep_producer + mods) must
+    apply mods[1] (txt AdaLN LN+modulate) before add_qkv_proj —
+    _forward_fused used to project the RAW encoder_hidden, silently
+    dropping the txt modulation. Random-init AdaLN mods are tiny and
+    LN(N(0,1)) is near-identity, so model-level equivalence tolerances
+    hid it; engineered large scale/shift make the drop an order-1 error."""
+    from nunchaku_tpu.models.attention import (
+        FluxAttention, permute_qk_halfsplit,
+    )
+    from nunchaku_tpu.models.embeddings import rope_table
+    from nunchaku_tpu.models.normalization import layer_norm
+    from nunchaku_tpu.ops.attention import rope_table_halfsplit
+
+    dim, H, D = 256, 2, 128
+    B, S_img, S_txt = 1, 128, 128
+    attn = FluxAttention.random_init(
+        jax.random.PRNGKey(1), dim, H, D, joint=True, rank=8, precision="int8"
+    )
+    r = np.random.default_rng(1)
+    img = jnp.asarray(r.normal(size=(B, S_img, dim)), jnp.bfloat16)
+    txt = jnp.asarray(r.normal(size=(B, S_txt, dim)), jnp.bfloat16)
+    rot = rope_table(jnp.zeros((S_img + S_txt, 3), jnp.float32), (16, 56, 56))
+    sc_i = jnp.asarray(r.normal(size=(B, dim)), jnp.bfloat16) * 0.1
+    sh_i = jnp.asarray(r.normal(size=(B, dim)), jnp.bfloat16) * 0.1
+    # large txt modulation: a dropped mods[1] is an O(1) output error
+    sc_t = jnp.asarray(r.normal(size=(B, dim)), jnp.bfloat16) * 0.1 + 1.0
+    sh_t = jnp.asarray(r.normal(size=(B, dim)), jnp.bfloat16) * 0.1 + 2.0
+
+    def mod(x, sc, sh):
+        return (
+            layer_norm(x) * (1.0 + sc.astype(jnp.float32))[:, None]
+            + sh.astype(jnp.float32)[:, None]
+        ).astype(jnp.bfloat16)
+
+    ref = attn(mod(img, sc_i, sh_i), mod(txt, sc_t, sh_t), rot)
+
+    permute_qk_halfsplit(attn)
+    attn.prep_producer = True
+    out = attn(img, txt, rope_table_halfsplit(rot),
+               mods=((sc_i, sh_i), (sc_t, sh_t)))
+    for rf, o, name in ((ref[0], out[0], "img"), (ref[1], out[1], "txt")):
+        rf = np.asarray(rf, np.float32)
+        o = np.asarray(o, np.float32)
+        err = np.abs(o - rf).max() / (np.abs(rf).max() + 1e-9)
+        assert err < 5e-2, (name, err)
+
+
+def test_lora_in_producer_matches_gemm_epilogue():
+    """lora_in_producer: the qkv GEMM skips its low-rank epilogue and the
+    rope producer adds each tile's (bm, R) @ (R, D) slice in-kernel — must
+    match the GEMM-side lora add to quantization-noise level (the producer
+    adds lora in f32 where the XLA fusion rounds the main term to bf16
+    first)."""
+    from nunchaku_tpu.models.attention import (
+        FluxAttention, permute_qk_halfsplit,
+    )
+    from nunchaku_tpu.models.embeddings import rope_table
+    from nunchaku_tpu.ops.attention import rope_table_halfsplit
+
+    dim, H, D = 256, 2, 128
+    B, S_img, S_txt = 1, 128, 128
+    r = np.random.default_rng(2)
+    attn = FluxAttention.random_init(
+        jax.random.PRNGKey(1), dim, H, D, joint=True, rank=8, precision="int8"
+    )
+    permute_qk_halfsplit(attn)
+    attn.prep_producer = True
+    img = jnp.asarray(r.normal(size=(B, S_img, dim)), jnp.bfloat16)
+    txt = jnp.asarray(r.normal(size=(B, S_txt, dim)), jnp.bfloat16)
+    rot = rope_table_halfsplit(
+        rope_table(jnp.zeros((S_img + S_txt, 3), jnp.float32), (16, 56, 56))
+    )
+    sc = jnp.asarray(r.normal(size=(B, dim)), jnp.bfloat16) * 0.2
+    sh = jnp.asarray(r.normal(size=(B, dim)), jnp.bfloat16) * 0.2
+    mods = ((sc, sh), (sh, sc))
+    attn.lora_in_producer = False
+    ref = attn(img, txt, rot, mods=mods)
+    attn.lora_in_producer = True
+    out = attn(img, txt, rot, mods=mods)
+    for i, (a, b) in enumerate(zip(ref, out)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        err = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+        assert err < 3e-2, (i, err)
+
+
+@pytest.mark.parametrize("precision", ["int8", "w4a8"])
+def test_res_epilogue_equivalence(precision):
+    """RES_EPILOGUE (gated residual adds fused into the chain consumer's
+    epilogue, incl. the single block's attn_out extra + lora operands)
+    matches the unfused adds to the documented rounding level."""
+    import nunchaku_tpu.models.transformers.transformer_flux as TF
+
+    cfg = FluxConfig(
+        num_layers=1, num_single_layers=1, num_attention_heads=2,
+        joint_attention_dim=512, pooled_projection_dim=256,
+        precision=precision,
+    )
+    m = FluxTransformer2DModel.random_init(jax.random.PRNGKey(3), cfg)
+    m.set_stream_dtype(jnp.bfloat16)
+    args = _inputs()
+    f = jax.jit(lambda mm, *a: mm(*a))
+    try:
+        TF.set_res_epilogue(False)
+        ref = np.asarray(f(m, *args), np.float32)
+        TF.set_res_epilogue(True)
+        out = np.asarray(f(m, *args), np.float32)
+    finally:
+        TF.set_res_epilogue(True)
+    rel = np.abs(ref - out).max() / (np.abs(ref).max() + 1e-9)
+    # only float-rounding order differs (the kernel mimics the unfused
+    # path's bf16 materializations; the attn lora add keeps f32 a bit
+    # longer) — quantization-noise level
+    assert rel < 2e-2, rel
+
+
 def test_bf16_stream_close_to_f32(model):
     """set_stream_dtype(bf16): halved stream traffic, bounded drift."""
     args = _inputs()

@@ -192,6 +192,62 @@ def fam_rope_producer():
     check("rope producer v", v, v_ref, tol=1e-2)
 
 
+def fam_rope_lora():
+    """Producer with the low-rank operands (lora_in_producer mode): each
+    (bm, D) tile adds its lora slice before norm/rope — against adding
+    lora_act @ proj_up to qkv up front and running the plain producer."""
+    from nunchaku_tpu.ops.attention import (
+        qkv_rope_producer, rope_table_halfsplit,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(21), 6)
+    qkv = jax.random.normal(ks[0], (B, S, 3 * H * D), jnp.bfloat16)
+    rot = jax.random.normal(ks[1], (S, D // 2, 2), jnp.float32)
+    rot = rot / (jnp.linalg.norm(rot, axis=-1, keepdims=True) + 1e-6)
+    nq = jnp.abs(jax.random.normal(ks[2], (D,), jnp.float32)) + 0.5
+    nk = jnp.abs(jax.random.normal(ks[3], (D,), jnp.float32)) + 0.5
+    la = jax.random.normal(ks[4], (B, S, R), jnp.float32) * 0.1
+    pu = jax.random.normal(ks[5], (R, 3 * H * D), jnp.bfloat16) * 0.05
+    cos, sin = rope_table_halfsplit(rot)
+    q, k, v = qkv_rope_producer(qkv, cos, sin, nq, nk, heads=H, head_dim=D,
+                                lora_act=la, proj_up=pu)
+    qkv_ref = (qkv.astype(jnp.float32) + jnp.einsum(
+        "bsr,rn->bsn", la.astype(jnp.bfloat16).astype(jnp.float32),
+        pu.astype(jnp.float32))).astype(jnp.bfloat16)
+    q2, k2, v2 = qkv_rope_producer(qkv_ref, cos, sin, nq, nk,
+                                   heads=H, head_dim=D)
+    check("rope_lora q", q, q2, tol=3e-2)
+    check("rope_lora k", k, k2, tol=3e-2)
+    check("rope_lora v", v, v2, tol=3e-2)
+
+
+def fam_chain_res():
+    """Chain consumer with the gated-residual epilogue (+ attn extra +
+    extra-lora operands) vs the unfused adds."""
+    import nunchaku_tpu.models.transformers.transformer_flux as TFm
+    from nunchaku_tpu.models.attention import FeedForward, gelu_mlp
+
+    ks = jax.random.split(jax.random.PRNGKey(22), 5)
+    ff = FeedForward.random_init(
+        jax.random.PRNGKey(23), K, mult=4, rank=R, precision="int8"
+    )
+    x = jax.random.normal(ks[0], (1, S_IMG, K), jnp.bfloat16)
+    gate = jax.random.normal(ks[1], (1, K), jnp.float32) * 0.5
+    extra = jax.random.normal(ks[2], (1, S_IMG, K), jnp.bfloat16)
+    ela = jax.random.normal(ks[3], (1, S_IMG, R), jnp.float32) * 0.1
+    epu = jax.random.normal(ks[4], (R, K), jnp.bfloat16) * 0.05
+    out = gelu_mlp(ff.fc1, ff.fc2, x,
+                   residual=(x, gate, extra, ela, epu))
+    mlp = gelu_mlp(ff.fc1, ff.fc2, x)
+    e = (extra.astype(jnp.float32) + jnp.einsum(
+        "bsr,rn->bsn", ela.astype(jnp.bfloat16).astype(jnp.float32),
+        epu.astype(jnp.float32))).astype(jnp.bfloat16).astype(jnp.float32)
+    ref = (x.astype(jnp.float32)
+           + gate[:, None].astype(jnp.float32)
+           * (mlp.astype(jnp.float32) + e)).astype(jnp.bfloat16)
+    check("chain_res", out, ref, tol=3e-2)
+
+
 def fam_blocksparse():
     from nunchaku_tpu.ops.attention import (
         block_sparse_attention, block_sparse_reference, select_blocks,
@@ -353,6 +409,8 @@ FAMILIES = {
     "ln": fam_ln_producer,
     "flash": fam_flash,
     "rope": fam_rope_producer,
+    "rope_lora": fam_rope_lora,
+    "chain_res": fam_chain_res,
     "blocksparse": fam_blocksparse,
     "gemv": fam_gemv_awq,
     "flash_i8": fam_flash_i8,
