@@ -255,6 +255,95 @@ def fb_cached_forward(
 
 
 # ---------------------------------------------------------------------------
+# Qwen-Image first-block cache (reference runs cache-dit DBCache over
+# QwenImage, examples/v1/qwen-image-cache-dit.py with Fn=1/Bn=0: block 0 is
+# the decision indicator, the remaining blocks' residual is replayed)
+# ---------------------------------------------------------------------------
+
+
+class QwenFBCacheState(NamedTuple):
+    prev_first_residual: jnp.ndarray  # (B, S_img, D) bf16
+    cached_rest_residual: jnp.ndarray  # (B, S_img, D) bf16
+    valid: jnp.ndarray  # () bool
+    hits: jnp.ndarray  # () int32
+
+
+def init_qwen_fb_state(batch, s_img, dim) -> QwenFBCacheState:
+    return QwenFBCacheState(
+        jnp.zeros((batch, s_img, dim), jnp.bfloat16),
+        jnp.zeros((batch, s_img, dim), jnp.bfloat16),
+        jnp.zeros((), jnp.bool_),
+        jnp.zeros((), jnp.int32),
+    )
+
+
+def qwenimage_fb_cached_forward(
+    model,
+    state: QwenFBCacheState,
+    hidden_states,
+    encoder_hidden_states,
+    timestep,
+    img_ids,
+    txt_ids=None,
+    *,
+    residual_diff_threshold: float = 0.12,
+    controlnet_block_samples=None,
+    encoder_hidden_states_mask=None,
+    force=None,  # () int32: <0 threshold decision, 0 force miss, 1 force hit
+):
+    """One cached Qwen-Image transformer step. Returns (velocity, new_state).
+
+    Qwen's 60 joint blocks have no single-stream tail, so one decision covers
+    blocks 1..L-1; the img-stream residual is both the similarity metric and
+    the replayed quantity (the reference's cache-dit Fn=1/Bn=0 DBCache config
+    compares/replays hidden_states the same way). The txt stream is only an
+    intermediate — ``head`` reads img alone — so hits never need it.
+    """
+    img0, txt0, temb, rot = model.embed(
+        hidden_states, encoder_hidden_states, timestep, img_ids, txt_ids
+    )
+    kv_mask = model.kv_mask_for(img0, encoder_hidden_states_mask)
+    img1, txt1 = model.run_blocks(
+        img0, txt0, temb, rot, start=0, stop=1,
+        controlnet_block_samples=controlnet_block_samples, kv_mask=kv_mask,
+    )
+    first_res = (img1 - img0).astype(jnp.bfloat16)
+    hit = jnp.logical_and(
+        state.valid,
+        _apply_force(
+            _similar(first_res, state.prev_first_residual, residual_diff_threshold),
+            force,
+        ),
+    )
+
+    def on_hit(st):
+        img_f = img1 + st.cached_rest_residual.astype(img1.dtype)
+        return img_f, st.cached_rest_residual
+
+    def on_miss(st):
+        # start=0: recompute block 0 from the unsliced stacked weights —
+        # scanning blocks[1:] materializes a full HLO-temp copy of the
+        # sliced weight stack inside this cond branch (see fb_cached_forward)
+        img_f, _ = model.run_blocks(
+            img0, txt0, temb, rot, start=0,
+            controlnet_block_samples=controlnet_block_samples, kv_mask=kv_mask,
+        )
+        return img_f, (img_f - img1).astype(jnp.bfloat16)
+
+    img_f, cached_rest = jax.lax.cond(hit, on_hit, on_miss, state)
+    out = model.head(img_f, temb)
+    new_state = QwenFBCacheState(
+        # store-on-miss (reference fbcache.py:467-469): hits keep comparing
+        # against the last miss's residual so drift forces a recompute
+        prev_first_residual=jnp.where(hit, state.prev_first_residual, first_res),
+        cached_rest_residual=cached_rest,
+        valid=jnp.ones((), jnp.bool_),
+        hits=state.hits + hit.astype(jnp.int32),
+    )
+    return out, new_state
+
+
+# ---------------------------------------------------------------------------
 # SANA first-block cache (reference SanaCachedTransformerBlocks,
 # caching/utils.py:33-213)
 # ---------------------------------------------------------------------------

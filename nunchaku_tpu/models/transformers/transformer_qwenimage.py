@@ -155,24 +155,36 @@ class QwenImageTransformer2DModel(Module):
         out = self.norm_out(img.astype(jnp.bfloat16), temb)
         return self.proj_out(out).astype(jnp.bfloat16)
 
-    def __call__(
-        self,
-        hidden_states: jnp.ndarray,  # (B, S_img, in_channels)
-        encoder_hidden_states: jnp.ndarray,  # (B, S_txt, joint_dim)
-        timestep: jnp.ndarray,  # (B,)
-        img_ids: jnp.ndarray,  # (S_img, 3)
-        txt_ids: jnp.ndarray | None = None,  # (S_txt, 3); default: index rope
-        controlnet_block_samples: jnp.ndarray | None = None,  # (L, B, S_img, D)
-        encoder_hidden_states_mask: jnp.ndarray | None = None,  # (B, S_txt) bool
-    ) -> jnp.ndarray:
-        img, txt, temb, rot = self.embed(
-            hidden_states, encoder_hidden_states, timestep, img_ids, txt_ids
+    def kv_mask_for(self, img, encoder_hidden_states_mask):
+        """Joint [txt; img] kv-validity mask from a padded-prompt mask.
+
+        Reference ``encoder_hidden_states_mask`` (transformer_qwenimage.py
+        forward): every query ignores padded text keys, so valid rows match
+        the unpadded computation exactly."""
+        if encoder_hidden_states_mask is None:
+            return None
+        b = img.shape[0]
+        return jnp.concatenate(
+            [
+                encoder_hidden_states_mask.astype(jnp.bool_),
+                jnp.ones((b, img.shape[1]), jnp.bool_),
+            ],
+            axis=1,
         )
+
+    def run_blocks(self, img, txt, temb, rot, start=0, stop=None,
+                   controlnet_block_samples=None, kv_mask=None):
+        """Scan joint blocks [start, stop) (static bounds).
+
+        Mirrors FluxTransformer2DModel.run_dual so the FB cache can run
+        block 0 alone as its decision indicator (reference cache-dit DBCache
+        over QwenImage, examples/v1/qwen-image-cache-dit.py)."""
+        stop = self.cfg.num_layers if stop is None else stop
+        blocks = jax.tree.map(lambda a: a[start:stop], self.blocks)
 
         # stacked-weight prefetch (see FluxTransformer2DModel.run_dual):
         # int8 threads the fc1/fc2 chain stacks; 4-bit modes attach every
         # Pallas linear's stack so no per-block weight-slice copy runs
-        blocks = self.blocks
         stk = (
             (blocks.ff.fc1.qweight, blocks.ff.fc2.qweight),
             (blocks.ff_context.fc1.qweight, blocks.ff_context.fc2.qweight),
@@ -181,28 +193,16 @@ class QwenImageTransformer2DModel(Module):
             "w4a8", "int4", "nvfp4"
         )
 
-        n_layers = self.cfg.num_layers
         # ControlNet residuals spread with the ceil-interval rule the
         # reference applies per block (transformer_qwenimage.py:546-550 —
         # identical to the FLUX rule, so _expand_controlnet is shared)
         from .transformer_flux import _expand_controlnet
 
-        ctrl = _expand_controlnet(controlnet_block_samples, n_layers)
+        ctrl = _expand_controlnet(controlnet_block_samples, self.cfg.num_layers)
+        if ctrl is not None:
+            ctrl = ctrl[start:stop]
 
-        # padded-prompt mask (reference encoder_hidden_states_mask,
-        # transformer_qwenimage.py forward): joint [txt; img] kv validity —
-        # every query ignores padded text keys, so valid rows match the
-        # unpadded computation exactly
-        kv_mask = None
-        if encoder_hidden_states_mask is not None:
-            b = img.shape[0]
-            kv_mask = jnp.concatenate(
-                [
-                    encoder_hidden_states_mask.astype(jnp.bool_),
-                    jnp.ones((b, img.shape[1]), jnp.bool_),
-                ],
-                axis=1,
-            )
+        n = stop - start
 
         def body(carry, layer):
             block, c, i = layer
@@ -223,6 +223,26 @@ class QwenImageTransformer2DModel(Module):
 
         (img, txt), _ = jax.lax.scan(
             body, (img, txt),
-            (blocks, ctrl, jnp.arange(n_layers, dtype=jnp.int32)),
+            (blocks, ctrl, jnp.arange(n, dtype=jnp.int32)),
+        )
+        return img, txt
+
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,  # (B, S_img, in_channels)
+        encoder_hidden_states: jnp.ndarray,  # (B, S_txt, joint_dim)
+        timestep: jnp.ndarray,  # (B,)
+        img_ids: jnp.ndarray,  # (S_img, 3)
+        txt_ids: jnp.ndarray | None = None,  # (S_txt, 3); default: index rope
+        controlnet_block_samples: jnp.ndarray | None = None,  # (L, B, S_img, D)
+        encoder_hidden_states_mask: jnp.ndarray | None = None,  # (B, S_txt) bool
+    ) -> jnp.ndarray:
+        img, txt, temb, rot = self.embed(
+            hidden_states, encoder_hidden_states, timestep, img_ids, txt_ids
+        )
+        img, txt = self.run_blocks(
+            img, txt, temb, rot,
+            controlnet_block_samples=controlnet_block_samples,
+            kv_mask=self.kv_mask_for(img, encoder_hidden_states_mask),
         )
         return self.head(img, temb)

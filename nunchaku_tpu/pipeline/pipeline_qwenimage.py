@@ -42,6 +42,7 @@ LIGHTNING_PRESETS = {
 class QwenImagePipelineOutput:
     images: jnp.ndarray | None
     latents: jnp.ndarray
+    cache_hits: jnp.ndarray | None = None  # () int32, when an FB cache ran
 
 
 class QwenImagePipeline:
@@ -90,6 +91,8 @@ class QwenImagePipeline:
         cond_ids: jnp.ndarray | None = None,
         control_image=None,  # controlnet: (B, H, W, 3) in [0, 1]
         controlnet_conditioning_scale: float = 1.0,
+        cache: str | None = None,  # None | "fb" (reference qwen-image-cache-dit)
+        residual_diff_threshold: float = 0.12,
     ) -> QwenImagePipelineOutput:
         if lightning is not None:
             preset = LIGHTNING_PRESETS[lightning]
@@ -139,20 +142,34 @@ class QwenImagePipeline:
         neg_mask = negative_prompt_embeds_mask if use_cfg else pe_mask
         if (pe_mask is None) != (neg_mask is None):
             raise ValueError("pass masks for both prompt branches or neither")
-        lat_f, = _denoise(
-            model, latents.astype(jnp.float32), prompt_embeds, neg, img_ids,
-            cond_tokens, sig_pairs,
-            self.controlnet if ctrl_tokens is not None else None, ctrl_tokens,
-            jnp.float32(controlnet_conditioning_scale),
-            pe_mask, neg_mask,
-            cfg_scale=float(true_cfg_scale), use_cfg=use_cfg,
-        )
+        cache_hits = None
+        if cache is not None:
+            if cache != "fb":
+                raise ValueError(f"qwen cache supports 'fb', got {cache!r}")
+            if ctrl_tokens is not None:
+                raise ValueError("qwen fb cache x controlnet is not supported")
+            lat_f, cache_hits = _denoise_cached(
+                model, latents.astype(jnp.float32), prompt_embeds, neg,
+                img_ids, cond_tokens, sig_pairs, pe_mask, neg_mask,
+                cfg_scale=float(true_cfg_scale), use_cfg=use_cfg,
+                thresh=float(residual_diff_threshold),
+            )
+        else:
+            lat_f, = _denoise(
+                model, latents.astype(jnp.float32), prompt_embeds, neg, img_ids,
+                cond_tokens, sig_pairs,
+                self.controlnet if ctrl_tokens is not None else None, ctrl_tokens,
+                jnp.float32(controlnet_conditioning_scale),
+                pe_mask, neg_mask,
+                cfg_scale=float(true_cfg_scale), use_cfg=use_cfg,
+            )
         latents = lat_f.astype(jnp.bfloat16)
         images = None
         if self.vae is not None:
             z = unpack_latents(latents, lh, lw).astype(jnp.bfloat16)
             images = self.vae.decode(z)
-        return QwenImagePipelineOutput(images=images, latents=latents)
+        return QwenImagePipelineOutput(images=images, latents=latents,
+                                       cache_hits=cache_hits)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg_scale", "use_cfg"), donate_argnums=(1,))
@@ -194,3 +211,48 @@ def _denoise(model, lat0, pe, npe, img_ids, cond_tokens, sig_pairs,
 
     lat, _ = jax.lax.scan(body, lat0, sig_pairs)
     return (lat,)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg_scale", "use_cfg", "thresh"), donate_argnums=(1,)
+)
+def _denoise_cached(model, lat0, pe, npe, img_ids, cond_tokens, sig_pairs,
+                    pe_mask=None, neg_mask=None, *, cfg_scale, use_cfg, thresh):
+    """FB-cached denoise loop (reference cache-dit DBCache over QwenImage,
+    examples/v1/qwen-image-cache-dit.py). Each CFG branch carries its own
+    cache state — the two branches see different residual trajectories."""
+    from ..caching.fbcache import init_qwen_fb_state, qwenimage_fb_cached_forward
+
+    b = lat0.shape[0]
+    s_img = lat0.shape[1]
+    s_x = s_img + cond_tokens.shape[1]
+    st_pos = init_qwen_fb_state(b, s_x, model.cfg.dim)
+    st_neg = init_qwen_fb_state(b, s_x, model.cfg.dim)
+
+    def one_step(carry, sig, sig_next):
+        lat, sp, sn = carry
+        t = jnp.full((b,), sig, jnp.float32)
+        x = lat.astype(jnp.bfloat16)
+        if cond_tokens.shape[1]:
+            x = jnp.concatenate([x, cond_tokens], axis=1)
+
+        vel, sp = qwenimage_fb_cached_forward(
+            model, sp, x, pe, t, img_ids,
+            residual_diff_threshold=thresh,
+            encoder_hidden_states_mask=pe_mask,
+        )
+        vel = vel[:, :s_img]
+        if use_cfg:
+            vel_neg, sn = qwenimage_fb_cached_forward(
+                model, sn, x, npe, t, img_ids,
+                residual_diff_threshold=thresh,
+                encoder_hidden_states_mask=neg_mask,
+            )
+            vel = vel_neg[:, :s_img] + cfg_scale * (vel - vel_neg[:, :s_img])
+        return (euler_step(lat, vel, sig, sig_next), sp, sn)
+
+    def body(carry, sig):
+        return one_step(carry, sig[0], sig[1]), None
+
+    (lat, st_pos, _), _ = jax.lax.scan(body, (lat0, st_pos, st_neg), sig_pairs)
+    return lat, st_pos.hits

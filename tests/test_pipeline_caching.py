@@ -221,6 +221,92 @@ def test_sana_fb_cache_exact_at_zero_threshold():
     assert np.allclose(np.asarray(out_hit, np.float32), np.asarray(ref, np.float32), atol=5e-2)
 
 
+def test_qwen_fb_cache_exact_at_zero_threshold():
+    """Qwen-Image FB cache (reference qwen-image-cache-dit.py, DBCache
+    Fn=1/Bn=0): impossible threshold never hits and matches the plain
+    forward; huge threshold hits on the second identical step and the
+    replayed residual reproduces the full forward."""
+    import numpy as np
+
+    from nunchaku_tpu.caching.fbcache import (
+        init_qwen_fb_state,
+        qwenimage_fb_cached_forward,
+    )
+    from nunchaku_tpu.models.transformers.transformer_qwenimage import (
+        QwenImageConfig,
+        QwenImageTransformer2DModel,
+    )
+
+    cfg = QwenImageConfig(
+        num_layers=2, num_attention_heads=2, joint_attention_dim=320
+    )
+    model = QwenImageTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+    B, S_img, S_txt = 1, 256, 64
+    ii = np.zeros((S_img, 3), np.int32)
+    ii[:, 1] = np.arange(S_img) // 16
+    ii[:, 2] = np.arange(S_img) % 16
+    ii = jnp.asarray(ii)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, S_img, 64), jnp.bfloat16)
+    pe = jax.random.normal(jax.random.PRNGKey(2), (B, S_txt, 320), jnp.bfloat16)
+    t = jnp.array([0.5], jnp.float32)
+
+    st = init_qwen_fb_state(B, S_img, cfg.dim)
+    out1, st = qwenimage_fb_cached_forward(
+        model, st, x, pe, t, ii, residual_diff_threshold=-1.0
+    )
+    ref = model(x, pe, t, ii)
+    assert int(st.hits) == 0
+    np.testing.assert_allclose(
+        np.asarray(out1, np.float32), np.asarray(ref, np.float32), atol=1e-2
+    )
+
+    st2 = init_qwen_fb_state(B, S_img, cfg.dim)
+    _, st2 = qwenimage_fb_cached_forward(
+        model, st2, x, pe, t, ii, residual_diff_threshold=1e9
+    )
+    out_hit, st2 = qwenimage_fb_cached_forward(
+        model, st2, x, pe, t, ii, residual_diff_threshold=1e9
+    )
+    assert int(st2.hits) == 1
+    np.testing.assert_allclose(
+        np.asarray(out_hit, np.float32), np.asarray(ref, np.float32), atol=5e-2
+    )
+
+
+def test_qwen_pipeline_fb_cache():
+    """Pipeline surface: cache='fb' at an impossible threshold reproduces the
+    uncached latents bit-for-bit (same jitted math, 0 hits); a huge threshold
+    records hits. Covers CFG (two states) and the edit-token concat path."""
+    import numpy as np
+
+    from nunchaku_tpu.models.transformers.transformer_qwenimage import (
+        QwenImageConfig,
+        QwenImageTransformer2DModel,
+    )
+    from nunchaku_tpu.pipeline.pipeline_qwenimage import QwenImagePipeline
+
+    cfg = QwenImageConfig(
+        num_layers=2, num_attention_heads=2, joint_attention_dim=320
+    )
+    model = QwenImageTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+    pipe = QwenImagePipeline(model)
+    pe = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 320), jnp.bfloat16)
+    npe = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 320), jnp.bfloat16)
+    kw = dict(prompt_embeds=pe, negative_prompt_embeds=npe,
+              height=128, width=128, num_inference_steps=3, seed=0,
+              true_cfg_scale=4.0)
+
+    base = pipe(**kw)
+    never = pipe(**kw, cache="fb", residual_diff_threshold=-1.0)
+    assert int(never.cache_hits) == 0
+    np.testing.assert_array_equal(
+        np.asarray(base.latents, np.float32),
+        np.asarray(never.latents, np.float32),
+    )
+    always = pipe(**kw, cache="fb", residual_diff_threshold=1e9)
+    assert int(always.cache_hits) == 2  # steps 1, 2 (step 0 must miss)
+
+
 class TestImageConditioning:
     """FLUX variant conditioning: Kontext (sequence concat), canny/depth/
     fill (channel concat) — reference serves these via diffusers pipelines

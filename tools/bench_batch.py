@@ -1,14 +1,15 @@
 """Batched serving throughput: FLUX int8-turbo step latency and
 images/sec/chip at B = 1, 2, 4 (1024px).
 
-MEASURED 2026-08-17 (one v5e, fused qkv_rope_producer): B=1 334.6 ms
-(215 img/h), B=2 711.8 ms (202 img/h) = 2.13x. The old 2.49x anomaly
-(B=1 362.6 / B=2 902.7) was mostly the attention-prologue layout copies
-the head-gridded Pallas producer eliminated. The remaining 13% excess is
-XLA fusion regressions at B=2 (trace: qkv_rope_producer 3.1x, a new
-19 ms convert_add_fusion, lora-add fusions 3.2x; flash/chain/fc2 all
-scale at 1.9-2.0x). Single-image latency stays the serving sweet spot
-on one chip; scale throughput by replicating across chips (dp)."""
+MEASURED 2026-08-20 (one v5e, post native-(B,S,K) operands ac446d1):
+B=1 310.8 ms (232 img/h), B=2 611.1 ms (236 img/h) = **1.97x** — the
+native 3D GEMM operands closed the batch anomaly (history: 2.49x with
+flattened operands and XLA layout copies at the custom-call boundary,
+2.13x after the head-gridded qkv_rope_producer, 1.97x once the Pallas
+routes vmap the 2D kernel over an un-flattened (B,S,K) operand). Batch
+now scales sublinearly-per-image; single-image latency remains best
+per-request, B=2 edges ahead on throughput/chip. Scale further by
+replicating across chips (dp)."""
 import sys, time, os, gc
 sys.path.insert(0, "/root/repo")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
