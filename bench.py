@@ -122,14 +122,13 @@ def main():
         return float(jnp.sum(out.images.astype(jnp.float32)))
 
     run_cached()  # warmup/compile
-    t0 = time.perf_counter()
-    _ = float(jnp.sum(t5(ids).astype(jnp.float32)))  # encode in the timing
-    run_cached()
-    cached_sec = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _ = float(jnp.sum(t5(ids).astype(jnp.float32)))
-    run_cached()
-    cached_sec = min(cached_sec, time.perf_counter() - t0)
+    cached_runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _ = float(jnp.sum(t5(ids).astype(jnp.float32)))  # encode in the timing
+        run_cached()
+        cached_runs.append(round(time.perf_counter() - t0, 3))
+    cached_sec = min(cached_runs)
 
     # natural-threshold trajectory: the SAME cached program with the
     # lax.cond *threshold* deciding (no forced schedule). On random sandbox
@@ -178,6 +177,10 @@ def main():
         "vs_baseline": round(BASELINE_DEV50_S / cached_sec, 4),
         "cache_hits": hits[0],
         "forced_hit_ratio": 0.5,
+        # run-to-run spread of the headline (min reported as value):
+        # recorded so two rounds' numbers can be compared with variance
+        # in view (round-3 recorded 9.596 then 9.0 on different days)
+        "cached_runs_s": cached_runs,
         "natural_s_per_image": round(natural_sec, 3),
         "natural_cache_hits": nat_hits[0],
         "natural_threshold": 0.12,
