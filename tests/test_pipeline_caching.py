@@ -264,12 +264,18 @@ def test_qwen_fb_cache_exact_at_zero_threshold():
     _, st2 = qwenimage_fb_cached_forward(
         model, st2, x, pe, t, ii, residual_diff_threshold=1e9
     )
+    stored_at_miss = np.asarray(st2.prev_first_residual, np.float32)
     out_hit, st2 = qwenimage_fb_cached_forward(
         model, st2, x, pe, t, ii, residual_diff_threshold=1e9
     )
     assert int(st2.hits) == 1
     np.testing.assert_allclose(
         np.asarray(out_hit, np.float32), np.asarray(ref, np.float32), atol=5e-2
+    )
+    # store-on-miss (reference fbcache.py:467-469): the hit step must keep
+    # comparing against the LAST MISS's residual, not overwrite it
+    np.testing.assert_array_equal(
+        np.asarray(st2.prev_first_residual, np.float32), stored_at_miss
     )
 
 
