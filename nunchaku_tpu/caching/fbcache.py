@@ -255,9 +255,11 @@ def fb_cached_forward(
 
 
 # ---------------------------------------------------------------------------
-# Qwen-Image first-block cache (reference runs cache-dit DBCache over
-# QwenImage, examples/v1/qwen-image-cache-dit.py with Fn=1/Bn=0: block 0 is
-# the decision indicator, the remaining blocks' residual is replayed)
+# Qwen-Image first-N-blocks cache (reference runs cache-dit DBCache over
+# QwenImage, examples/v1/qwen-image-cache-dit.py with Fn_compute_blocks=8 /
+# Bn=0: blocks 0..7 are the decision indicator, the remaining blocks'
+# residual is replayed; fn_blocks=1 gives the more aggressive FLUX-style
+# first-block variant the reference uses in flux.1-dev-cache-dit.py)
 # ---------------------------------------------------------------------------
 
 
@@ -287,6 +289,7 @@ def qwenimage_fb_cached_forward(
     txt_ids=None,
     *,
     residual_diff_threshold: float = 0.12,
+    fn_blocks: int = 8,
     controlnet_block_samples=None,
     encoder_hidden_states_mask=None,
     force=None,  # () int32: <0 threshold decision, 0 force miss, 1 force hit
@@ -294,17 +297,21 @@ def qwenimage_fb_cached_forward(
     """One cached Qwen-Image transformer step. Returns (velocity, new_state).
 
     Qwen's 60 joint blocks have no single-stream tail, so one decision covers
-    blocks 1..L-1; the img-stream residual is both the similarity metric and
-    the replayed quantity (the reference's cache-dit Fn=1/Bn=0 DBCache config
-    compares/replays hidden_states the same way). The txt stream is only an
-    intermediate — ``head`` reads img alone — so hits never need it.
+    blocks fn..L-1; the img-stream residual is both the similarity metric and
+    the replayed quantity (cache-dit DBCache compares/replays hidden_states
+    the same way). ``fn_blocks`` is Fn_compute_blocks: the reference's Qwen
+    example sets Fn=8 (examples/v1/qwen-image-cache-dit.py:25) — the default
+    here — while its FLUX example uses the more aggressive Fn=1
+    (flux.1-dev-cache-dit.py:23). The txt stream is only an intermediate —
+    ``head`` reads img alone — so hits never need it.
     """
+    fn = max(1, min(int(fn_blocks), model.cfg.num_layers - 1))
     img0, txt0, temb, rot = model.embed(
         hidden_states, encoder_hidden_states, timestep, img_ids, txt_ids
     )
     kv_mask = model.kv_mask_for(img0, encoder_hidden_states_mask)
     img1, txt1 = model.run_blocks(
-        img0, txt0, temb, rot, start=0, stop=1,
+        img0, txt0, temb, rot, start=0, stop=fn,
         controlnet_block_samples=controlnet_block_samples, kv_mask=kv_mask,
     )
     first_res = (img1 - img0).astype(jnp.bfloat16)
@@ -321,9 +328,10 @@ def qwenimage_fb_cached_forward(
         return img_f, st.cached_rest_residual
 
     def on_miss(st):
-        # start=0: recompute block 0 from the unsliced stacked weights —
-        # scanning blocks[1:] materializes a full HLO-temp copy of the
-        # sliced weight stack inside this cond branch (see fb_cached_forward)
+        # start=0: recompute blocks 0..fn-1 from the unsliced stacked
+        # weights — scanning blocks[fn:] materializes a full HLO-temp copy
+        # of the sliced weight stack inside this cond branch (see
+        # fb_cached_forward)
         img_f, _ = model.run_blocks(
             img0, txt0, temb, rot, start=0,
             controlnet_block_samples=controlnet_block_samples, kv_mask=kv_mask,

@@ -93,6 +93,7 @@ class QwenImagePipeline:
         controlnet_conditioning_scale: float = 1.0,
         cache: str | None = None,  # None | "fb" (reference qwen-image-cache-dit)
         residual_diff_threshold: float = 0.12,
+        fn_blocks: int = 8,  # Fn_compute_blocks (reference Qwen example: 8)
     ) -> QwenImagePipelineOutput:
         if lightning is not None:
             preset = LIGHTNING_PRESETS[lightning]
@@ -150,9 +151,10 @@ class QwenImagePipeline:
                 raise ValueError("qwen fb cache x controlnet is not supported")
             lat_f, cache_hits = _denoise_cached(
                 model, latents.astype(jnp.float32), prompt_embeds, neg,
-                img_ids, cond_tokens, sig_pairs, pe_mask, neg_mask,
+                img_ids, cond_tokens, sig_pairs,
+                jnp.float32(residual_diff_threshold), pe_mask, neg_mask,
                 cfg_scale=float(true_cfg_scale), use_cfg=use_cfg,
-                thresh=float(residual_diff_threshold),
+                fn_blocks=int(fn_blocks),
             )
         else:
             lat_f, = _denoise(
@@ -214,13 +216,22 @@ def _denoise(model, lat0, pe, npe, img_ids, cond_tokens, sig_pairs,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg_scale", "use_cfg", "thresh"), donate_argnums=(1,)
+    jax.jit, static_argnames=("cfg_scale", "use_cfg", "fn_blocks"),
+    donate_argnums=(1,),
 )
 def _denoise_cached(model, lat0, pe, npe, img_ids, cond_tokens, sig_pairs,
-                    pe_mask=None, neg_mask=None, *, cfg_scale, use_cfg, thresh):
-    """FB-cached denoise loop (reference cache-dit DBCache over QwenImage,
-    examples/v1/qwen-image-cache-dit.py). Each CFG branch carries its own
-    cache state — the two branches see different residual trajectories."""
+                    thresh, pe_mask=None, neg_mask=None, *, cfg_scale,
+                    use_cfg, fn_blocks=8):
+    """FB-cached denoise loop (reference cache-dit DBCache Fn=8/Bn=0 over
+    QwenImage, examples/v1/qwen-image-cache-dit.py:25). Each CFG branch
+    carries its own cache state — the two branches see different residual
+    trajectories. ``thresh`` is a traced f32 scalar so sweeping the
+    threshold never recompiles the 60-block loop; ``fn_blocks`` (static)
+    selects how many leading indicator blocks run before the decision.
+
+    Returns (latents, hits) where hits sums BOTH CFG branches' realized
+    hit counts (each branch decides independently; max = 2*(steps-1) with
+    true-CFG, steps-1 without)."""
     from ..caching.fbcache import init_qwen_fb_state, qwenimage_fb_cached_forward
 
     b = lat0.shape[0]
@@ -238,14 +249,14 @@ def _denoise_cached(model, lat0, pe, npe, img_ids, cond_tokens, sig_pairs,
 
         vel, sp = qwenimage_fb_cached_forward(
             model, sp, x, pe, t, img_ids,
-            residual_diff_threshold=thresh,
+            residual_diff_threshold=thresh, fn_blocks=fn_blocks,
             encoder_hidden_states_mask=pe_mask,
         )
         vel = vel[:, :s_img]
         if use_cfg:
             vel_neg, sn = qwenimage_fb_cached_forward(
                 model, sn, x, npe, t, img_ids,
-                residual_diff_threshold=thresh,
+                residual_diff_threshold=thresh, fn_blocks=fn_blocks,
                 encoder_hidden_states_mask=neg_mask,
             )
             vel = vel_neg[:, :s_img] + cfg_scale * (vel - vel_neg[:, :s_img])
@@ -254,5 +265,8 @@ def _denoise_cached(model, lat0, pe, npe, img_ids, cond_tokens, sig_pairs,
     def body(carry, sig):
         return one_step(carry, sig[0], sig[1]), None
 
-    (lat, st_pos, _), _ = jax.lax.scan(body, (lat0, st_pos, st_neg), sig_pairs)
-    return lat, st_pos.hits
+    (lat, st_pos, st_neg), _ = jax.lax.scan(
+        body, (lat0, st_pos, st_neg), sig_pairs
+    )
+    hits = st_pos.hits + (st_neg.hits if use_cfg else 0)
+    return lat, hits

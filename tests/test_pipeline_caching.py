@@ -223,7 +223,8 @@ def test_sana_fb_cache_exact_at_zero_threshold():
 
 def test_qwen_fb_cache_exact_at_zero_threshold():
     """Qwen-Image FB cache (reference qwen-image-cache-dit.py, DBCache
-    Fn=1/Bn=0): impossible threshold never hits and matches the plain
+    Fn_compute_blocks=8/Bn=0 — fn_blocks clamps to num_layers-1=1 on this
+    tiny model): impossible threshold never hits and matches the plain
     forward; huge threshold hits on the second identical step and the
     replayed residual reproduces the full forward."""
     import numpy as np
@@ -282,7 +283,9 @@ def test_qwen_fb_cache_exact_at_zero_threshold():
 def test_qwen_pipeline_fb_cache():
     """Pipeline surface: cache='fb' at an impossible threshold reproduces the
     uncached latents bit-for-bit (same jitted math, 0 hits); a huge threshold
-    records hits. Covers CFG (two states) and the edit-token concat path."""
+    records hits summed over BOTH CFG branches. A second pass feeds
+    non-empty cond_tokens so the edit-token concat inside _denoise_cached is
+    actually exercised (cache_hits counts both true-CFG branches)."""
     import numpy as np
 
     from nunchaku_tpu.models.transformers.transformer_qwenimage import (
@@ -310,7 +313,24 @@ def test_qwen_pipeline_fb_cache():
         np.asarray(never.latents, np.float32),
     )
     always = pipe(**kw, cache="fb", residual_diff_threshold=1e9)
-    assert int(always.cache_hits) == 2  # steps 1, 2 (step 0 must miss)
+    # 2 hit-capable steps x 2 independent CFG branches (step 0 must miss)
+    assert int(always.cache_hits) == 4
+
+    # edit-token concat path: non-empty cond_tokens ride through the
+    # cached denoise (velocity sliced back to S_img rows)
+    from nunchaku_tpu.pipeline.pipeline_flux import make_img_ids as _mk
+    cond = jax.random.normal(
+        jax.random.PRNGKey(5), (1, 64, model.cfg.in_channels), jnp.bfloat16
+    )
+    cids = _mk(8, 8).at[:, 0].set(1)
+    ekw = dict(kw, cond_tokens=cond, cond_ids=cids)
+    ebase = pipe(**ekw)
+    enever = pipe(**ekw, cache="fb", residual_diff_threshold=-1.0)
+    assert int(enever.cache_hits) == 0
+    np.testing.assert_array_equal(
+        np.asarray(ebase.latents, np.float32),
+        np.asarray(enever.latents, np.float32),
+    )
 
 
 class TestImageConditioning:
