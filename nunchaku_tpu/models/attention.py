@@ -674,7 +674,8 @@ def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None,
         if fc1.precision == "w4a8":
             from ..ops.gemm import _w4a8_fused, svdq_gemm_w4a4
 
-            if _w4a8_fused():
+            wcodes = getattr(fc1, "wcodes", "int4")
+            if _w4a8_fused() and wcodes != "e2m1":
                 # packed chain: both kernels read int4 HBM and rescale each
                 # weight stripe once into VMEM plane scratches — the 4-bit
                 # fc1->fc2 chain never materializes an int8 (K, N) buffer
@@ -709,10 +710,12 @@ def gelu_mlp(fc1, fc2, x, mod=None, pre_quant=None, stacked=None,
             from ..ops.gemm import dequant_w4a8_auto
 
             w8_1 = dequant_w4a8_auto(
-                fc1.qweight if fc1_qw is None else fc1_qw, fc1.rescales, idx
+                fc1.qweight if fc1_qw is None else fc1_qw, fc1.rescales, idx,
+                codes=wcodes,
             )
             w8_2 = dequant_w4a8_auto(
-                fc2.qweight if fc2_qw is None else fc2_qw, fc2.rescales, idx
+                fc2.qweight if fc2_qw is None else fc2_qw, fc2.rescales, idx,
+                codes=getattr(fc2, "wcodes", "int4"),
             )
             qout, qs, la2 = svdq_gemm_w8a8_gelu_quant(
                 qact, asc, w8_1, fc1.wscales, la, fc1.proj_up, fc1.bias,

@@ -48,8 +48,8 @@ def _svdq_weight(lin: SVDQW4A4Linear) -> tuple[jnp.ndarray, jnp.ndarray | None]:
         vals = unpack_int4(lin.qweight, axis=-2).astype(jnp.float32)
         k = vals.shape[-2]
         if lin.precision == "w4a8":
-            g = GROUP_INT4
             rs = lin.rescales.astype(jnp.float32)  # (.., K/G, N)
+            g = k // rs.shape[-2]  # 64 for int4 codes, 16 for e2m1 (nvfp4-a8)
             rse = jnp.repeat(rs, g, axis=-2)
             w8 = jnp.clip(jnp.round(_vals_e(vals, lin) * rse), -127, 127)
             wq = w8 * ws  # per-channel (.., 1, N)
@@ -71,7 +71,7 @@ def _svdq_weight(lin: SVDQW4A4Linear) -> tuple[jnp.ndarray, jnp.ndarray | None]:
 
 
 def _vals_e(vals: jnp.ndarray, lin) -> jnp.ndarray:
-    if lin.precision == "nvfp4":
+    if lin.precision == "nvfp4" or getattr(lin, "wcodes", "int4") == "e2m1":
         return _dequant_e2m1(vals.astype(jnp.int8))
     return vals
 

@@ -108,6 +108,7 @@ class SVDQW4A4Linear(Module):
         *,
         precision: str = "int4",
         act_unsigned: bool = False,
+        wcodes: str = "int4",  # w4a8 nibble format: "int4" | "e2m1" (nvfp4-a8)
     ):
         self.qweight = qweight
         self.wscales = wscales
@@ -118,6 +119,7 @@ class SVDQW4A4Linear(Module):
         self.rescales = rescales
         self.precision = precision
         self.act_unsigned = act_unsigned
+        self.wcodes = wcodes
         self.in_features = qweight.shape[0] * (1 if precision == "int8" else 2)
         if precision == "w4a8":
             self.in_features = qweight.shape[0] * 2
@@ -292,6 +294,7 @@ class SVDQW4A4Linear(Module):
             act_unsigned=self.act_unsigned,
             layer_idx=layer_idx,
             residual=residual,
+            wcodes=self.wcodes,
         )
 
     def forward_parts(self, x: jnp.ndarray):

@@ -109,10 +109,14 @@ def _decode_svdq(r: _Reader, *, precision: str, out_precision: str) -> SVDQW4A4L
             precision="int8",
         )
 
-    if out_precision == "w4a8" and precision == "int4":
-        # int4 storage + int8 MXU: keep the packed weights, add per-channel
-        # int8 scale + in-kernel rescale factors (ops/gemm.py w4a8 path)
-        s8 = np.maximum(ws.max(axis=0) * 7.0 / 127.0, 1e-12)
+    if out_precision == "w4a8":
+        # 4-bit storage + int8 MXU: keep the packed weights, add per-channel
+        # int8 scale + in-kernel rescale factors (ops/gemm.py w4a8 path).
+        # nvfp4 checkpoints keep their e2m1 codes (wcodes="e2m1"): the
+        # dequant pass decodes the fp4 grid (max |value| 6.0) before the
+        # rescale, with the fp8-e4m3 group scales already folded into ws
+        cmax = 6.0 if precision == "nvfp4" else 7.0
+        s8 = np.maximum(ws.max(axis=0) * cmax / 127.0, 1e-12)
         rs = ws / s8[None, :]
         return SVDQW4A4Linear(
             pack_int4(jnp.asarray(vals.T), axis=0),
@@ -123,6 +127,7 @@ def _decode_svdq(r: _Reader, *, precision: str, out_precision: str) -> SVDQW4A4L
             None if bias is None else jnp.asarray(bias, jnp.bfloat16),
             rescales=jnp.asarray(rs, jnp.bfloat16),
             precision="w4a8",
+            wcodes="e2m1" if precision == "nvfp4" else "int4",
         )
 
     return SVDQW4A4Linear(
@@ -225,8 +230,6 @@ def load_flux_transformer(
     qcfg = json.loads(st.metadata.get("quantization_config", "{}"))
     ckpt_precision = "nvfp4" if "fp4" in str(qcfg.get("weight", {})) else "int4"
     out_precision = precision or ckpt_precision
-    if out_precision == "w4a8" and ckpt_precision != "int4":
-        out_precision = "int8"  # nvfp4 has no packed w4a8 path; requantize
 
     cfg = FluxConfig(
         num_layers=config.get("num_layers", 19),

@@ -994,7 +994,7 @@ def _gemm_w4a4_xla(qact, ascales_t, qweight, wscales, lora_act, proj_up,
     return out.astype(out_dtype)
 
 
-def dequant_w4a8_to_int8(qweight, rescales, layer_idx=None):
+def dequant_w4a8_to_int8(qweight, rescales, layer_idx=None, codes="int4"):
     """int4-packed w4a8 weights -> per-channel int8 (K, N), in-graph.
 
     Same math as the Pallas w4a8 kernel's in-VMEM rescale
@@ -1005,6 +1005,13 @@ def dequant_w4a8_to_int8(qweight, rescales, layer_idx=None):
     Pallas hybrid. ``layer_idx`` selects a layer from a stacked (L, K/2, N)
     array (the dynamic-slice fuses into the dequant fusion — this is an XLA
     op, not a custom call, so no extra copy materializes).
+
+    ``codes="e2m1"`` (nvfp4-a8 serving mode): the packed nibbles are signed
+    e2m1 codes; they decode arithmetically to the fp4 grid before the
+    rescale — the rescale factors then fold the checkpoint's fp8-e4m3 group
+    scales over the per-channel int8 scale (models/requantize.py,
+    loader.py), so nvfp4 checkpoints ride the unmodified int8 kernels the
+    same way int4 ones do (the trick that took w4a8 499 -> 331 ms/step).
     """
     if layer_idx is not None:
         qweight = jax.lax.dynamic_index_in_dim(
@@ -1025,8 +1032,12 @@ def dequant_w4a8_to_int8(qweight, rescales, layer_idx=None):
     )
     hi = jax.lax.shift_right_arithmetic(p, jnp.int8(4))
     w4 = jnp.stack([lo, hi], axis=1).reshape(k // g, g, n)
+    if codes == "e2m1":
+        vals = _decode_e2m1(w4.astype(jnp.int32))
+    else:
+        vals = w4.astype(jnp.float32)
     # rescale broadcast rides the multiply (never materialized at (K, N))
-    w = w4.astype(jnp.float32) * rescales.astype(jnp.float32)[:, None, :]
+    w = vals * rescales.astype(jnp.float32)[:, None, :]
     return jnp.clip(jnp.round(w), -127, 127).astype(jnp.int8).reshape(k, n)
 
 
@@ -1047,7 +1058,8 @@ def _w4a8_deq_pallas() -> bool:
     return os.environ.get("NUNCHAKU_TPU_W4A8_DEQ", "pallas") == "pallas"
 
 
-def dequant_w4a8_auto(qweight, rescales, layer_idx=None, interpret=None):
+def dequant_w4a8_auto(qweight, rescales, layer_idx=None, interpret=None,
+                      codes="int4"):
     """Flag-dispatched per-layer dequant: the Pallas kernel when enabled
     and the shape tiles legally (K % 256, N % 128 — Mosaic lane rules),
     the XLA fusion otherwise. Both emit identical int8 codes (tests)."""
@@ -1055,11 +1067,11 @@ def dequant_w4a8_auto(qweight, rescales, layer_idx=None, interpret=None):
     n = qweight.shape[2 if layer_idx is not None else 1]
     if _w4a8_deq_pallas() and (half * 2) % 256 == 0 and n % 128 == 0:
         return dequant_w4a8_pallas(qweight, rescales, layer_idx,
-                                   interpret=interpret)
-    return dequant_w4a8_to_int8(qweight, rescales, layer_idx)
+                                   interpret=interpret, codes=codes)
+    return dequant_w4a8_to_int8(qweight, rescales, layer_idx, codes=codes)
 
 
-def _dequant_w4a8_kernel(*refs, group, stacked_w):
+def _dequant_w4a8_kernel(*refs, group, stacked_w, codes="int4"):
     if stacked_w:  # scalar-prefetch mode: refs[0] is the layer-index ref
         refs = refs[1:]
     qw_ref, rs_ref, out_ref = refs
@@ -1068,13 +1080,17 @@ def _dequant_w4a8_kernel(*refs, group, stacked_w):
     half, bn = wp.shape
     lo = (wp << 28) >> 28
     hi = (wp << 24) >> 28
+    if codes == "e2m1":
+        lo_v, hi_v = _decode_e2m1(lo), _decode_e2m1(hi)
+    else:
+        lo_v, hi_v = lo.astype(jnp.float32), hi.astype(jnp.float32)
     rs_lo, rs_hi = _wgt_plane_scales(rs_ref[...], half * 2, group)
     w_lo = jnp.clip(
-        jnp.round(lo.astype(jnp.float32) * rs_lo.astype(jnp.float32)),
+        jnp.round(lo_v * rs_lo.astype(jnp.float32)),
         -127, 127,
     ).astype(jnp.int8)
     w_hi = jnp.clip(
-        jnp.round(hi.astype(jnp.float32) * rs_hi.astype(jnp.float32)),
+        jnp.round(hi_v * rs_hi.astype(jnp.float32)),
         -127, 127,
     ).astype(jnp.int8)
     # packed row 128b+j holds logical rows 256b+j (lo) and 256b+128+j (hi)
@@ -1086,11 +1102,12 @@ def _dequant_w4a8_kernel(*refs, group, stacked_w):
 
 
 def dequant_w4a8_pallas(qweight, rescales, layer_idx=None, *,
-                        bkk=1024, bnn=None, interpret=None):
+                        bkk=1024, bnn=None, interpret=None, codes="int4"):
     """Pallas counterpart of :func:`dequant_w4a8_to_int8`: same
     clip(round(nibble*rs)) math and logical-order output, but the rescale
     expansion happens in VMEM (two 0/1-matrix MXU dots, `_wgt_plane_scales`)
-    — HBM sees only packed int4 in and (K, N) int8 out."""
+    — HBM sees only packed int4 in and (K, N) int8 out. ``codes="e2m1"``
+    decodes nvfp4 nibbles arithmetically first (nvfp4-a8 serving mode)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     stacked = layer_idx is not None
@@ -1113,7 +1130,7 @@ def dequant_w4a8_pallas(qweight, rescales, layer_idx=None, *,
     ]
     inputs = [qweight, rescales.astype(jnp.bfloat16)]
     kernel = functools.partial(_dequant_w4a8_kernel, group=group,
-                               stacked_w=stacked)
+                               stacked_w=stacked, codes=codes)
     grid = (k // bkk, n // bnn)
     out_spec = pl.BlockSpec((bkk, bnn), lambda kk, j, *_: (kk, j), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((k, n), jnp.int8)
@@ -1813,6 +1830,7 @@ def svdq_gemm_w4a4(
     layer_idx: jnp.ndarray | None = None,
     residual=None,
     interpret: bool | None = None,
+    wcodes: str = "int4",
 ) -> jnp.ndarray:
     """Public entry: snapshots the route-selection env flags outside jit so
     they key the compiled-executable cache (see :func:`_read_gemm_flags`;
@@ -1835,7 +1853,7 @@ def svdq_gemm_w4a4(
         qact, ascales, qweight, wscales, lora_act, proj_up, bias, rescales,
         precision=precision, act_unsigned=act_unsigned, out_dtype=out_dtype,
         bm=bm, bn=bn, bk=bk, layer_idx=layer_idx, interpret=interpret,
-        flags=_read_gemm_flags(),
+        flags=_read_gemm_flags(), wcodes=wcodes,
         res_x=None if res is None else res[0],
         res_gate=None if res is None else res[1],
         res_extra=None if res is None else res[2],
@@ -1878,6 +1896,7 @@ def _res_apply_xla(out, res_x, res_gate, res_extra, res_ela, res_epu):
         "bk",
         "interpret",
         "flags",
+        "wcodes",
     ),
 )
 def _svdq_gemm_w4a4(
@@ -1904,6 +1923,7 @@ def _svdq_gemm_w4a4(
     res_extra: jnp.ndarray | None = None,
     res_ela: jnp.ndarray | None = None,
     res_epu: jnp.ndarray | None = None,
+    wcodes: str = "int4",
 ) -> jnp.ndarray:
     """Quantized GEMM: ``dequant(qact) @ dequant(qweight) + lora + bias``.
 
@@ -1944,8 +1964,13 @@ def _svdq_gemm_w4a4(
         half = qw.shape[1 if idx is not None else 0]
         nn = qw.shape[2 if idx is not None else 1]
         if deq_pallas and (half * 2) % 256 == 0 and nn % 128 == 0:
-            return dequant_w4a8_pallas(qw, rs, idx, interpret=interpret)
-        return dequant_w4a8_to_int8(qw, rs, idx)
+            return dequant_w4a8_pallas(qw, rs, idx, interpret=interpret,
+                                       codes=wcodes)
+        return dequant_w4a8_to_int8(qw, rs, idx, codes=wcodes)
+
+    # e2m1-coded w4a8 (nvfp4-a8) only has the dequant+int8-dot route: the
+    # hoisted Pallas GEMM reads raw nibbles as integers
+    w4a8_xla = w4a8_xla or wcodes == "e2m1"
     is_int8 = precision == "int8"
     is_w4a8 = precision == "w4a8"
     stacked = layer_idx is not None
@@ -1976,7 +2001,7 @@ def _svdq_gemm_w4a4(
         fn = functools.partial(
             _svdq_gemm_w4a4, precision=precision, act_unsigned=act_unsigned,
             out_dtype=out_dtype, bm=bm, bn=bn, bk=bk, interpret=interpret,
-            flags=flags,
+            flags=flags, wcodes=wcodes,
         )
         return jax.vmap(
             lambda q, a, la, rx, rg, re, rl: fn(
@@ -2049,6 +2074,11 @@ def _svdq_gemm_w4a4(
         ))
 
     if is_w4a8 and grouped_as:
+        if wcodes == "e2m1":
+            raise ValueError(
+                "e2m1-coded w4a8 has no packed chain kernel; dequant the "
+                "weights first (gelu_mlp routes this automatically)"
+            )
         # chain consumer on packed int4 weights: the hoisted-dequant kernel
         # rescales each weight stripe ONCE into VMEM plane scratches and
         # contracts the producer's grouped-scale int8 activations — the
@@ -2141,6 +2171,11 @@ def _svdq_gemm_w4a4(
             asc = asc.reshape(asc.shape[0], 1, asc.shape[1])
         inputs = [qact, asc, qweight, wscales.astype(jnp.float32)]
     elif is_w4a8:
+        if wcodes == "e2m1":
+            raise ValueError(
+                "e2m1-coded w4a8 (nvfp4-a8) has no per-M-tile hybrid kernel; "
+                "leave bm/bn/bk unset to take the dequant+int8-dot route"
+            )
         qw_spec = (
             pl.BlockSpec((1, bk // 2, bn), lambda i, j, kk, L: (L[0], kk, j), memory_space=pltpu.VMEM)
             if stacked

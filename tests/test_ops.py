@@ -478,6 +478,156 @@ class TestW4A8:
         assert rel < 1e-2, rel
 
 
+class TestNvfp4A8:
+    """nvfp4-a8 serving mode: e2m1-coded w4a8 (wcodes="e2m1"). The packed
+    nvfp4 nibbles decode arithmetically to the fp4 grid before the rescale,
+    then ride the unmodified int8 kernels — the same dequant-pass ladder
+    trick that took int4 w4a8 from 499 to 331 ms/step. Reference: its fp4
+    path is the FAST mode (gemm_w4a4.cuh:274); ours must not stay at the
+    1025.8 ms in-kernel-decode route."""
+
+    @staticmethod
+    def _e2m1_np(c):
+        a = np.abs(c.astype(np.int32))
+        e, m2 = a >> 1, (a & 1).astype(np.float32)
+        mag = np.where(e == 0, 0.5 * m2, (1.0 + 0.5 * m2) * np.exp2(np.maximum(e - 1, 0)))
+        return np.where(c < 0, -mag, mag)
+
+    def test_dequant_e2m1_matches_numpy(self):
+        """dequant_w4a8_to_int8(codes='e2m1') == clip(round(e2m1(c)*rs))
+        at the nvfp4 group size (16)."""
+        from nunchaku_tpu.core.packing import pack_int4
+        from nunchaku_tpu.ops.gemm import dequant_w4a8_to_int8
+
+        rng_ = np.random.default_rng(5)
+        k, n, g = 512, 256, 16
+        codes = rng_.integers(-7, 8, (k, n))
+        rs = (rng_.random((k // g, n)) * 20 + 0.5).astype(np.float32)
+        rs_b = np.asarray(jnp.asarray(rs, jnp.bfloat16), np.float32)
+        ref = np.clip(
+            np.round(self._e2m1_np(codes) * np.repeat(rs_b, g, axis=0)),
+            -127, 127,
+        ).astype(np.int8)
+        got = dequant_w4a8_to_int8(
+            pack_int4(jnp.asarray(codes), axis=0),
+            jnp.asarray(rs, jnp.bfloat16), codes="e2m1",
+        )
+        np.testing.assert_array_equal(np.asarray(got), ref)
+
+    def test_dequant_e2m1_pallas_matches_xla(self):
+        """The Pallas dequant pass must emit byte-identical int8 codes to
+        the XLA fusion for e2m1 nibbles too (plain and stacked)."""
+        from nunchaku_tpu.core.packing import pack_int4
+        from nunchaku_tpu.ops.gemm import (
+            dequant_w4a8_pallas,
+            dequant_w4a8_to_int8,
+        )
+
+        rng_ = np.random.default_rng(7)
+        k, n, g, L = 1024, 512, 16, 2
+        qw = jnp.asarray(np.stack([
+            np.asarray(pack_int4(rng_.integers(-7, 8, (k, n)), axis=0))
+            for _ in range(L)
+        ]))
+        rs = jnp.asarray(rng_.random((L, k // g, n)) * 20 + 0.5, jnp.bfloat16)
+        ref = dequant_w4a8_to_int8(qw[1], rs[1], codes="e2m1")
+        got = dequant_w4a8_pallas(qw[1], rs[1], bkk=512, codes="e2m1")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        got_stacked = dequant_w4a8_pallas(
+            qw, rs[1], jnp.ones((), jnp.int32), bkk=512, codes="e2m1"
+        )
+        np.testing.assert_array_equal(np.asarray(got_stacked), np.asarray(ref))
+
+    def test_gemm_e2m1_matches_int8_on_dequanted(self):
+        """svdq_gemm_w4a4(wcodes='e2m1') == the int8 GEMM on the dequanted
+        weights — bit-identical (it IS that route)."""
+        from nunchaku_tpu.core.packing import pack_int4
+        from nunchaku_tpu.ops.gemm import dequant_w4a8_to_int8, svdq_gemm_w4a4
+        from nunchaku_tpu.ops.quantize import quantize_w4a4_act_fuse_lora
+
+        rng_ = np.random.default_rng(13)
+        m, k, n, g = 128, 512, 256, 16
+        x = jnp.asarray(rng_.standard_normal((m, k)), jnp.bfloat16)
+        pd = jnp.asarray(rng_.standard_normal((k, 32)) * 0.05, jnp.bfloat16)
+        pu = jnp.asarray(rng_.standard_normal((32, n)) * 0.05, jnp.bfloat16)
+        sm = jnp.asarray(np.abs(rng_.standard_normal(k)) + 0.5, jnp.bfloat16)
+        bias = jnp.asarray(rng_.standard_normal(n) * 0.1, jnp.bfloat16)
+        qw = jnp.asarray(pack_int4(rng_.integers(-7, 8, (k, n)), axis=0))
+        rs = jnp.asarray(rng_.random((k // g, n)) * 20 + 0.5, jnp.bfloat16)
+        ws = jnp.asarray(rng_.random((1, n)) * 0.01 + 0.001, jnp.float32)
+        qa, asc, la = quantize_w4a4_act_fuse_lora(x, pd, sm, precision="w4a8")
+
+        got = svdq_gemm_w4a4(
+            qa, asc, qw, ws, la, pu, bias, rescales=rs, precision="w4a8",
+            wcodes="e2m1",
+        )
+        w8 = dequant_w4a8_to_int8(qw, rs, codes="e2m1")
+        ref = svdq_gemm_w4a4(
+            qa, asc, w8, ws, la, pu, bias, precision="int8",
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_chain_e2m1_equals_int8_twin(self):
+        """gelu_mlp on e2m1-coded w4a8 linears routes through the dequant
+        pass (never the packed int4 chain) and matches the int8 twins
+        bit-exactly."""
+        import jax
+
+        from nunchaku_tpu.models.attention import gelu_mlp
+        from nunchaku_tpu.models.linear import SVDQW4A4Linear
+        from nunchaku_tpu.ops.gemm import dequant_w4a8_to_int8
+
+        key = jax.random.PRNGKey(17)
+        k1, k2, k3 = jax.random.split(key, 3)
+
+        def mk(kk, kin, nout):
+            lin = SVDQW4A4Linear.random_init(kk, kin, nout, rank=16,
+                                             precision="w4a8")
+            # re-shape rescales to the nvfp4 group (16) and mark e2m1 codes
+            g16 = jax.random.uniform(kk, (kin // 16, nout), jnp.bfloat16,
+                                     1.0, 127.0 / 6.0)
+            lin.rescales = g16
+            lin.wcodes = "e2m1"
+            return lin
+
+        fc1, fc2 = mk(k1, 512, 1024), mk(k2, 1024, 512)
+        x = jax.random.normal(k3, (1, 64, 512), jnp.bfloat16)
+
+        def twin(lin):
+            w8 = dequant_w4a8_to_int8(lin.qweight, lin.rescales, codes="e2m1")
+            return SVDQW4A4Linear(
+                w8, lin.wscales, lin.smooth, lin.proj_down, lin.proj_up,
+                lin.bias, precision="int8", act_unsigned=lin.act_unsigned,
+            )
+
+        out = gelu_mlp(fc1, fc2, x)
+        ref = gelu_mlp(twin(fc1), twin(fc2), x)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_requantize_nvfp4_to_w4a8(self):
+        """requantize_svdq(nvfp4 -> w4a8) keeps the packed e2m1 codes
+        (wcodes='e2m1'), and the serving twin stays within the re-rounding
+        envelope of the nvfp4 twin (same <2% contract as int4 w4a8)."""
+        import jax
+
+        from nunchaku_tpu.models.bf16_ref import _svdq_weight
+        from nunchaku_tpu.models.linear import SVDQW4A4Linear
+        from nunchaku_tpu.models.requantize import requantize_svdq
+
+        key = jax.random.PRNGKey(23)
+        w = jax.random.normal(key, (512, 256), jnp.bfloat16) * 0.02
+        lin = SVDQW4A4Linear.from_weights(w, precision="nvfp4", key=key)
+        out = requantize_svdq(lin, "w4a8")
+        assert out.precision == "w4a8" and out.wcodes == "e2m1"
+        assert out.rescales.shape[0] == 512 // 16
+        w_ref, _ = _svdq_weight(lin)
+        w_got, _ = _svdq_weight(out)
+        rel = float(
+            jnp.linalg.norm(w_got - w_ref) / (jnp.linalg.norm(w_ref) + 1e-9)
+        )
+        assert rel < 0.02, rel
+
+
 class TestGeluQuantChain:
     """Fused GELU_QUANT chain (reference src/Linear.cpp:270-438): producer
     GEMM emits the consumer's int8 activations + grouped scales + lora_act;
