@@ -145,16 +145,22 @@ class SVDQW4A4Linear(Module):
         ks = jax.random.split(key, 5)
         std = 1.0 / math.sqrt(in_features)
         rescales = None
+        wcodes = "int4"
         if precision == "int8":
             qw = jax.random.randint(ks[0], (in_features, out_features), -128, 128, jnp.int8)
             ws = (jnp.abs(jax.random.normal(ks[1], (1, out_features))) * std / 127).astype(jnp.float32)
-        elif precision == "w4a8":
-            g = R.GROUP_INT4
+        elif precision in ("w4a8", "nvfp4-a8"):
+            # "nvfp4-a8": e2m1-coded w4a8 (module precision stays "w4a8",
+            # wcodes="e2m1", group-16 rescales) — the nvfp4 serving mode
+            g = R.GROUP_INT4 if precision == "w4a8" else R.GROUP_FP4
+            wcodes = "int4" if precision == "w4a8" else "e2m1"
             qw = jax.random.randint(ks[0], (in_features // 2, out_features), -128, 128, jnp.int8)
             ws = (jnp.abs(jax.random.normal(ks[1], (1, out_features))) * std / 127).astype(jnp.float32)
             rescales = jax.random.uniform(
-                ks[1], (in_features // g, out_features), jnp.bfloat16, 1.0, 127.0 / 7.0
+                ks[1], (in_features // g, out_features), jnp.bfloat16, 1.0,
+                127.0 / (7.0 if precision == "w4a8" else 6.0),
             )
+            precision = "w4a8"
         else:
             g = R.group_size(precision)
             qw = jax.random.randint(ks[0], (in_features // 2, out_features), -128, 128, jnp.int8)
@@ -164,7 +170,8 @@ class SVDQW4A4Linear(Module):
         pu = jax.random.normal(ks[3], (rank, out_features), jnp.bfloat16) * 0.02
         b = jax.random.normal(ks[4], (out_features,), jnp.bfloat16) * 0.02 if bias else None
         return cls(qw, ws, smooth, pd, pu, b, rescales=rescales,
-                   precision=precision, act_unsigned=act_unsigned)
+                   precision=precision, act_unsigned=act_unsigned,
+                   wcodes=wcodes)
 
     @classmethod
     def from_weights(

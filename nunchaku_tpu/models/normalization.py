@@ -25,7 +25,7 @@ def _mod_linear(key, dim, out_dim, precision: str):
     (reference src/FluxModel.h:22,44); in int8 turbo mode an int8-MXU
     SVDQ linear with a zero low-rank branch — the AWQ gemv is VPU-bound
     at tiny M while the int8 dot is pure bandwidth (~50x faster here)."""
-    if precision in ("int8", "w4a8"):
+    if precision in ("int8", "w4a8", "nvfp4-a8"):
         lin = SVDQW4A4Linear.random_init(
             key, dim, out_dim, rank=16, precision="int8"
         )

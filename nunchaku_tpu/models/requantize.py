@@ -90,6 +90,79 @@ def requantize_svdq(lin: SVDQW4A4Linear, out_precision: str) -> SVDQW4A4Linear:
     return new
 
 
+def w4a8_cache_dequant(model, budget_gib: float, *, inplace: bool = False):
+    """Memory/speed dial for the w4a8 serving mode: spend up to
+    ``budget_gib`` of extra HBM holding dequanted int8 copies of the
+    largest weight stacks, so their per-step dequant pass disappears.
+
+    The per-step w4a8 dequant is HBM-bandwidth-bound at ~95% of light
+    speed (read 0.5 B/elem packed + write 1 B/elem int8 ≈ 22.5 ms/step at
+    FLUX scale on v5e) — the only way below it at fixed 4-bit residency
+    is to not re-dequant. Each converted linear swaps its packed int4
+    copy (0.5 B/elem) for a resident int8 copy (1 B/elem): net +0.5
+    B/elem of HBM buys back 1.5 B/elem/step of dequant traffic. Largest
+    stacks convert first (greedy by bytes). budget_gib counts the NET
+    growth. The conversion is bit-exact: the int8 codes are EXACTLY what
+    :func:`~nunchaku_tpu.ops.gemm.dequant_w4a8_to_int8` would emit in the
+    step, so outputs are unchanged at any dial setting.
+
+    budget_gib=0 is pure w4a8 (4-bit residency); a budget covering every
+    stack reaches int8-turbo step time with the checkpoint still loaded
+    from 4-bit. Returns a new model (deep copy), converted in place.
+    Reference identity: 4-bit weights, gemm_w4a4.cuh:832 — this dial
+    trades that residency back for speed explicitly.
+
+    Note the contract is *code*-exact, not output-bit-exact: converted
+    linears carry byte-identical int8 weights, but an int8-precision
+    linear may dispatch to the tuned Pallas int8 GEMM where the w4a8
+    route always rides the XLA dequant+dot — the two epilogues differ by
+    1-2 bf16 ulp (the same documented envelope as every Pallas/XLA route
+    pair; tests pin it).
+    """
+    from ..ops.gemm import dequant_w4a8_to_int8
+
+    # inplace=True skips the deep copy (on a 16 GiB chip the packed model +
+    # its copy + the int8 stacks don't coexist); the input model is mutated
+    new = model if inplace else copy.deepcopy(model)
+    cands = []
+    for _, mod in new.modules():
+        for attr, child in vars(mod).items():
+            if (isinstance(child, SVDQW4A4Linear)
+                    and child.precision == "w4a8"):
+                k = child.qweight.shape[-2] * 2
+                n = child.qweight.shape[-1]
+                layers = child.qweight.shape[0] if child.qweight.ndim == 3 else 1
+                cands.append((k * n * layers, mod, attr, child))
+    cands.sort(key=lambda t: -t[0])
+    budget = int(budget_gib * 2**30)
+    spent = 0
+    for bytes_i8, mod, attr, child in cands:
+        net = bytes_i8 // 2  # int8 copy replaces the packed int4 copy
+        if spent + net > budget:
+            continue
+        spent += net
+        codes = getattr(child, "wcodes", "int4")
+        if child.qweight.ndim == 3:
+            w8 = jnp.stack([
+                dequant_w4a8_to_int8(child.qweight[i], child.rescales[i]
+                                     if child.rescales.ndim == 3
+                                     else child.rescales, codes=codes)
+                for i in range(child.qweight.shape[0])
+            ])
+        else:
+            w8 = dequant_w4a8_to_int8(child.qweight, child.rescales,
+                                      codes=codes)
+        lin = SVDQW4A4Linear(
+            w8, child.wscales, child.smooth, child.proj_down,
+            child.proj_up, child.bias, precision="int8",
+            act_unsigned=child.act_unsigned,
+        )
+        lin.logical_in = child.logical_in
+        lin.logical_out = child.logical_out
+        setattr(mod, attr, lin)
+    return new
+
+
 def requantize_model(model, out_precision: str):
     """Deep-copied model with every 4-bit SVDQ linear converted to
     ``out_precision`` (int8 linears and AWQ modulation linears are left

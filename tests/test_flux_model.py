@@ -43,6 +43,95 @@ def test_forward_shape_finite(model):
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
 
 
+def test_nvfp4_a8_model_forward():
+    """precision='nvfp4-a8' builds e2m1-coded w4a8 linears (group-16
+    rescales) and the full graph runs the dequant+int8 route end to end."""
+    from nunchaku_tpu.models.linear import SVDQW4A4Linear
+
+    cfg = FluxConfig(
+        num_layers=1, num_single_layers=2, num_attention_heads=2,
+        joint_attention_dim=512, pooled_projection_dim=256,
+        precision="nvfp4-a8",
+    )
+    m = FluxTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+    seen = 0
+    for _, mod in m.modules():
+        for child in vars(mod).values():
+            if isinstance(child, SVDQW4A4Linear) and child.precision == "w4a8":
+                assert child.wcodes == "e2m1"
+                k = child.qweight.shape[-2] * 2  # (.., K/2, N), maybe stacked
+                assert child.rescales.shape[-2] == k // 16
+                seen += 1
+    assert seen > 0
+    out = jax.jit(lambda mm, *a: mm(*a))(m, *_inputs())
+    assert out.shape == (1, 256, 64)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_w4a8_cache_dequant_dial_code_exact():
+    """w4a8_cache_dequant (the HBM/speed dial): the cached int8 weight
+    codes are byte-identical to what the per-step dequant pass emits, and
+    the model output stays inside the Pallas/XLA route-drift envelope
+    (1-2 bf16 ulp on standalone GEMM epilogues) at every dial setting."""
+    from nunchaku_tpu.models.linear import SVDQW4A4Linear
+    from nunchaku_tpu.models.requantize import w4a8_cache_dequant
+
+    cfg = FluxConfig(
+        num_layers=1, num_single_layers=2, num_attention_heads=2,
+        joint_attention_dim=512, pooled_projection_dim=256,
+        precision="w4a8",
+    )
+    m = FluxTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+    args = _inputs()
+    f = jax.jit(lambda mm, *a: mm(*a))
+    ref = np.asarray(f(m, *args))
+
+    def count(mm, prec):
+        return sum(
+            1 for _, mod in mm.modules()
+            for c in vars(mod).values()
+            if isinstance(c, SVDQW4A4Linear) and c.precision == prec
+        )
+
+    n_w4a8 = count(m, "w4a8")
+    m0 = w4a8_cache_dequant(m, 0.0)
+    assert count(m0, "w4a8") == n_w4a8  # budget 0: nothing converts
+    # budget = exactly the largest stack's net growth: only it converts
+    biggest = max(
+        int(np.prod(c.qweight.shape)) * 2  # packed int4 -> int8 bytes
+        for _, mod in m.modules() for c in vars(mod).values()
+        if isinstance(c, SVDQW4A4Linear) and c.precision == "w4a8"
+    )
+    m_half = w4a8_cache_dequant(m, (biggest // 2 + 1) / 2**30)
+    m_full = w4a8_cache_dequant(m, 1.0)
+    assert count(m_full, "w4a8") == 0  # full budget: everything converts
+    assert 0 < count(m_half, "w4a8") < n_w4a8  # partial: a mixed model
+
+    # weight codes byte-identical to the per-step dequant's output
+    from nunchaku_tpu.ops.gemm import dequant_w4a8_to_int8
+
+    pairs = [
+        (c4, c8)
+        for (_, m4), (_, m8) in zip(m.modules(), m_full.modules())
+        for c4, c8 in zip(vars(m4).values(), vars(m8).values())
+        if isinstance(c4, SVDQW4A4Linear) and c4.precision == "w4a8"
+    ]
+    assert pairs
+    c4, c8 = pairs[0]
+    qw = c4.qweight[0] if c4.qweight.ndim == 3 else c4.qweight
+    rs = c4.rescales[0] if c4.rescales.ndim == 3 else c4.rescales
+    np.testing.assert_array_equal(
+        np.asarray(c8.qweight[0] if c8.qweight.ndim == 3 else c8.qweight),
+        np.asarray(dequant_w4a8_to_int8(qw, rs)),
+    )
+
+    for mm in (m_half, m_full):
+        out = np.asarray(f(mm, *args), np.float32)
+        rel = np.linalg.norm(out - ref.astype(np.float32)) / (
+            np.linalg.norm(ref.astype(np.float32)) + 1e-9)
+        assert rel < 3e-3, rel
+
+
 def test_deterministic(model):
     args = _inputs()
     f = jax.jit(lambda m, *a: m(*a))
