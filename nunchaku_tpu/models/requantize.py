@@ -163,11 +163,14 @@ def w4a8_cache_dequant(model, budget_gib: float, *, inplace: bool = False):
     return new
 
 
-def requantize_model(model, out_precision: str):
+def requantize_model(model, out_precision: str, *, inplace: bool = False):
     """Deep-copied model with every 4-bit SVDQ linear converted to
     ``out_precision`` (int8 linears and AWQ modulation linears are left
-    as-is, matching the loader's per-module handling)."""
-    new = copy.deepcopy(model)
+    as-is, matching the loader's per-module handling). ``inplace=True``
+    mutates the input instead — on a 16 GiB chip the int4 model, its deep
+    copy, and the int8 stacks cannot coexist; per-linear replacement frees
+    each packed stack as it converts."""
+    new = model if inplace else copy.deepcopy(model)
     for _, mod in new.modules():
         for attr, child in list(vars(mod).items()):
             if isinstance(child, SVDQW4A4Linear) and child.precision in (

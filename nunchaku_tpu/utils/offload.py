@@ -193,6 +193,86 @@ class OffloadedCachedFluxForward:
         return self._head(m, x_f[:, s_txt:], temb)
 
 
+class OffloadedCachedQwenImageForward:
+    """Qwen-Image first-block cache composed with CPU offloading — the
+    reference's flagship offload target (20B through 3-4 GB of VRAM,
+    transformer_qwenimage.py:415-451 / README.md:24) with its DBCache
+    example config on top (Fn_compute_blocks=8, qwen-image-cache-dit.py:25).
+
+    The first ``fn_blocks`` indicator blocks stay device-resident; the
+    remaining ``L - fn`` of the 60-block joint stack stream from host RAM.
+    On a cache hit the cached img-stream residual replays and none of the
+    streamed blocks transfer — with the 20B Qwen at int8 that is ~17 GB of
+    host->HBM traffic saved per hit. Decision on host (this loop is
+    un-jitted by construction), store-on-miss semantics identical to the
+    jitted ``qwenimage_fb_cached_forward``."""
+
+    def __init__(self, model, lookahead: int = 1,
+                 residual_diff_threshold: float = 0.12, fn_blocks: int = 8):
+        import jax.numpy as jnp
+
+        cfg = model.cfg
+        self.threshold = residual_diff_threshold
+        self.fn = max(1, min(int(fn_blocks), cfg.num_layers - 1))
+        dev = jax.devices()[0]
+        # indicator blocks resident (fn/L of the stack)
+        self.head_blocks = [
+            jax.device_put(slice_module(model.blocks, i), dev)
+            for i in range(self.fn)
+        ]
+        self.blocks = BlockStreamer(model.blocks, cfg.num_layers,
+                                    lookahead=lookahead)
+        self.model = jax.tree_util.tree_map(lambda x: x, model)
+        self.model.blocks = None
+        self.model.refresh_pytree()
+
+        self._block_fn = jax.jit(
+            lambda blk, c, temb, rot: blk(c[0], c[1], temb, rot)
+        )
+        self._embed = jax.jit(lambda m, *a: m.embed(*a))
+        self._head = jax.jit(lambda m, img, temb: m.head(img, temb))
+        self._rel = jax.jit(
+            lambda a, b: jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+            / (jnp.mean(jnp.abs(b.astype(jnp.float32))) + 1e-8)
+        )
+        self._prev_first = None  # bf16 (B, S_img, D) img residual after fn
+        self._cached = None  # bf16 img residual of blocks fn..L-1
+        self.hits = 0
+        self.steps = 0
+
+    def __call__(self, hidden_states, encoder_hidden_states, timestep,
+                 img_ids, txt_ids=None):
+        import jax.numpy as jnp
+
+        m = self.model
+        img0, txt0, temb, rot = self._embed(
+            m, hidden_states, encoder_hidden_states, timestep, img_ids,
+            txt_ids,
+        )
+        img, txt = img0, txt0
+        for blk in self.head_blocks:
+            img, txt = self._block_fn(blk, (img, txt), temb, rot)
+        first_res = (img - img0).astype(jnp.bfloat16)
+
+        hit = (
+            self._prev_first is not None
+            and float(self._rel(first_res, self._prev_first)) < self.threshold
+        )
+        self.steps += 1
+        if hit:
+            self.hits += 1
+            img_f = img + self._cached.astype(img.dtype)
+        else:
+            img_f, _ = self.blocks.run(
+                self._block_fn, (img, txt), temb, rot, start=self.fn
+            )
+            self._cached = (img_f - img).astype(jnp.bfloat16)
+            # store-on-miss (reference caching/fbcache.py:467-469): hits
+            # keep comparing against the last miss's indicator residual
+            self._prev_first = first_res
+        return self._head(m, img_f, temb)
+
+
 class OffloadedQwenImageForward:
     """Offloaded forward for QwenImageTransformer2DModel (the reference's
     main offload target: ``set_offload`` streams the 20B Qwen through
