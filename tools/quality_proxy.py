@@ -1,0 +1,147 @@
+"""Model-level quality proxy: image-space cost of the serving modes'
+weight re-rounding, measured end to end on synthetic FLUX-dims weights.
+
+Real checkpoints cannot mount in this sandbox (zero egress), so the
+single-largest unproven claim — the int8-turbo / w4a8 modes re-round the
+checkpoint's int4 residual to per-channel int8 (loader.py _decode_svdq) —
+is bounded here at MODEL level: build a FLUX-dims int4 "checkpoint twin"
+with realistic code/scale distributions (discretized-gaussian codes,
+heavy-tailed group scales — deepcompressor residuals look like this, not
+like uniform codes), serve the SAME twin in each mode through the full
+pipeline (20 denoise steps + tiled VAE decode at 1024px), and report
+  - from-scratch LPIPS(int4 images, mode images)   [metrics/lpips.py]
+  - latent relative error (mode vs int4) at the last step
+for mode in {int8, w4a8}. The int4 run is the parity anchor (it matches
+the reference's own quantized output contract; tests/test_golden.py).
+The one-command real-weight path stays NUNCHAKU_TPU_CKPT_ROOT.
+
+Reference accuracy spec this proxies: LPIPS table
+/root/reference/tests/v1/flux/test_flux1_dev.py:66-135.
+
+  python tools/quality_proxy.py [n_seeds] [steps] [size]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
+def realistic_int4(model, key):
+    """Overwrite every int4 SVDQ linear's codes/scales with realistic
+    distributions, deterministically: codes ~ round(N(0, 2.7)) clipped to
+    [-7, 7] (group-quantized residuals are near-gaussian with the tails
+    clipped into the end codes), group scales ~ lognormal(sigma=0.6)
+    around the init magnitude (scale spread follows the activation-smooth
+    folded weight magnitudes, which are heavy-tailed)."""
+    from nunchaku_tpu.core.packing import pack_int4
+    from nunchaku_tpu.models.linear import SVDQW4A4Linear
+
+    i = 0
+    for _, mod in model.modules():
+        for attr, child in vars(mod).items():
+            if not (isinstance(child, SVDQW4A4Linear)
+                    and child.precision == "int4"):
+                continue
+            i += 1
+            k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+            shp = child.qweight.shape  # (.., K/2, N) packed
+            kdim = shp[-2] * 2
+            codes = jnp.clip(jnp.round(
+                jax.random.normal(k1, shp[:-2] + (kdim, shp[-1])) * 2.7
+            ), -7, 7).astype(jnp.int8)
+            child.qweight = pack_int4(codes, axis=-2)
+            ws = child.wscales
+            child.wscales = (
+                jnp.abs(ws.astype(jnp.float32))
+                * jnp.exp(jax.random.normal(k2, ws.shape) * 0.6)
+            ).astype(ws.dtype)
+    model.refresh_pytree()
+    return model
+
+
+def build(mode: str):
+    from nunchaku_tpu.models.autoencoder import AutoencoderKL
+    from nunchaku_tpu.models.requantize import requantize_model
+    from nunchaku_tpu.models.transformers.transformer_flux import (
+        FluxConfig,
+        FluxTransformer2DModel,
+    )
+    from nunchaku_tpu.pipeline.pipeline_flux import FluxPipeline
+
+    cfg = FluxConfig(precision="int4")
+    m = FluxTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
+    m = realistic_int4(m, jax.random.PRNGKey(1))
+    if mode != "int4":
+        # same math as the loader's serving-mode decode (_decode_svdq);
+        # inplace: the int4 model and the int8 stacks don't coexist
+        m = requantize_model(m, mode, inplace=True)
+    vae = AutoencoderKL.random_init(jax.random.PRNGKey(2))
+    vae.enable_tiling()
+    return FluxPipeline(m, vae=vae), cfg
+
+
+def run_mode(mode: str, n_seeds: int, steps: int, size: int):
+    pipe, cfg = build(mode)
+    pe = jax.random.normal(
+        jax.random.PRNGKey(3), (1, 512, cfg.joint_attention_dim), jnp.bfloat16
+    )
+    pooled = jax.random.normal(
+        jax.random.PRNGKey(4), (1, cfg.pooled_projection_dim), jnp.bfloat16
+    )
+    imgs, lats = [], []
+    for seed in range(n_seeds):
+        t0 = time.time()
+        out = pipe(
+            prompt_embeds=pe, pooled_prompt_embeds=pooled,
+            height=size, width=size, num_inference_steps=steps, seed=seed,
+        )
+        imgs.append(np.asarray(out.images, np.float32))
+        lats.append(np.asarray(out.latents, np.float32))
+        print(f"[{mode}] seed {seed}: {time.time() - t0:.1f} s", flush=True)
+    del pipe
+    import gc
+
+    gc.collect()
+    return np.concatenate(imgs), np.concatenate(lats)
+
+
+def main():
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    size = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+
+    from nunchaku_tpu.metrics.lpips import compute_lpips
+
+    ref_imgs, ref_lats = run_mode("int4", n_seeds, steps, size)
+    table = {}
+    for mode in ("int8", "w4a8"):
+        gi, gl = run_mode(mode, n_seeds, steps, size)
+        lp = compute_lpips(ref_imgs, gi)
+        rel = float(
+            np.linalg.norm(gl - ref_lats) / (np.linalg.norm(ref_lats) + 1e-9)
+        )
+        table[mode] = {"lpips_vs_int4": round(lp, 5),
+                       "latent_rel_err": round(rel, 5)}
+        print(json.dumps({mode: table[mode]}), flush=True)
+    print(json.dumps({
+        "quality_proxy": table, "n_seeds": n_seeds, "steps": steps,
+        "size": size,
+        "note": ("synthetic FLUX-dims twin (realistic code/scale dists);"
+                 " int4 = parity anchor; from-scratch LPIPS"
+                 " (random-feature AlexNet when no weights file)"),
+    }))
+
+
+if __name__ == "__main__":
+    main()
