@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import copy
 
+import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.packing import unpack_int4
@@ -124,29 +126,32 @@ def w4a8_cache_dequant(model, budget_gib: float, *, inplace: bool = False):
     # inplace=True skips the deep copy (on a 16 GiB chip the packed model +
     # its copy + the int8 stacks don't coexist); the input model is mutated
     new = model if inplace else copy.deepcopy(model)
-    cands = []
-    for _, mod in new.modules():
-        for attr, child in vars(mod).items():
-            if (isinstance(child, SVDQW4A4Linear)
-                    and child.precision == "w4a8"):
-                k = child.qweight.shape[-2] * 2
-                n = child.qweight.shape[-1]
-                layers = child.qweight.shape[0] if child.qweight.ndim == 3 else 1
-                cands.append((k * n * layers, mod, attr, child))
+    # hold (mod, attr) only — holding the child would pin every packed
+    # array alive for the whole conversion and OOM a 16 GiB chip
+    cands = [
+        (int(np.prod(child.qweight.shape)) * 2, mod, attr)  # int8 bytes
+        for _, mod in new.modules()
+        for attr, child in vars(mod).items()
+        if isinstance(child, SVDQW4A4Linear) and child.precision == "w4a8"
+    ]
     cands.sort(key=lambda t: -t[0])
     budget = int(budget_gib * 2**30)
     spent = 0
-    for bytes_i8, mod, attr, child in cands:
+    for bytes_i8, mod, attr in cands:
         net = bytes_i8 // 2  # int8 copy replaces the packed int4 copy
         if spent + net > budget:
             continue
         spent += net
+        child = getattr(mod, attr)
         codes = getattr(child, "wcodes", "int4")
         if child.qweight.ndim == 3:
+            # layer by layer, synchronously: bounds the live temps to one
+            # layer's f32 rescale fusion instead of the whole stack's
             w8 = jnp.stack([
-                dequant_w4a8_to_int8(child.qweight[i], child.rescales[i]
-                                     if child.rescales.ndim == 3
-                                     else child.rescales, codes=codes)
+                jax.block_until_ready(dequant_w4a8_to_int8(
+                    child.qweight[i], child.rescales[i]
+                    if child.rescales.ndim == 3 else child.rescales,
+                    codes=codes))
                 for i in range(child.qweight.shape[0])
             ])
         else:
@@ -159,7 +164,8 @@ def w4a8_cache_dequant(model, budget_gib: float, *, inplace: bool = False):
         )
         lin.logical_in = child.logical_in
         lin.logical_out = child.logical_out
-        setattr(mod, attr, lin)
+        setattr(mod, attr, lin)  # frees the packed copy (refcount)
+        del child, lin, w8
     return new
 
 
