@@ -162,6 +162,12 @@ def w4a8_cache_dequant(model, budget_gib: float, *, inplace: bool = False):
             child.proj_up, child.bias, precision="int8",
             act_unsigned=child.act_unsigned,
         )
+        # the constructor derives in/out_features from qweight.shape[0/-1],
+        # which for a STACKED (L, K, N) array reads the layer axis — copy
+        # the child's correct values (forward_modulated's fused-producer
+        # eligibility checks k == in_features)
+        lin.in_features = child.in_features
+        lin.out_features = child.out_features
         lin.logical_in = child.logical_in
         lin.logical_out = child.logical_out
         setattr(mod, attr, lin)  # frees the packed copy (refcount)

@@ -117,6 +117,11 @@ def test_w4a8_cache_dequant_dial_code_exact():
         if isinstance(c4, SVDQW4A4Linear) and c4.precision == "w4a8"
     ]
     assert pairs
+    for c4, c8 in pairs:
+        # stacked conversions must not derive in_features from the layer
+        # axis (forward_modulated's fused producer checks k==in_features)
+        assert c8.in_features == c4.in_features, (c8.in_features, c4.in_features)
+        assert c8.out_features == c4.out_features
     c4, c8 = pairs[0]
     qw = c4.qweight[0] if c4.qweight.ndim == 3 else c4.qweight
     rs = c4.rescales[0] if c4.rescales.ndim == 3 else c4.rescales

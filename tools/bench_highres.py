@@ -24,7 +24,13 @@ from __graft_entry__ import _flux_inputs
 
 S_IMG, S_TXT = 16384, 512  # 2048px: (2048/16)^2 image tokens
 
-cfg = FluxConfig(precision="int8")
+PREC = "int8"
+if "-p" in sys.argv:
+    i = sys.argv.index("-p")
+    PREC = sys.argv[i + 1]
+    del sys.argv[i : i + 2]
+
+cfg = FluxConfig(precision=PREC)
 args = _flux_inputs(cfg, B=1, S_img=S_IMG, S_txt=S_TXT)
 
 import gc
@@ -38,7 +44,7 @@ for ratio in [float(x) for x in sys.argv[1:]] or (0.0, 0.5, 0.75):
     t0 = time.time()
     out = fwd(model, *args)
     _ = float(jnp.sum(out.astype(jnp.float32)))
-    print(f"sparsity {ratio}: compile+first {time.time()-t0:.1f} s", flush=True)
+    print(f"[{PREC}] sparsity {ratio}: compile+first {time.time()-t0:.1f} s", flush=True)
     n = 4
     t0 = time.perf_counter()
     for _ in range(n - 1):
@@ -46,7 +52,7 @@ for ratio in [float(x) for x in sys.argv[1:]] or (0.0, 0.5, 0.75):
     out = fwd(model, *args)
     _ = float(jnp.sum(out.astype(jnp.float32)))
     dt = (time.perf_counter() - t0) / n
-    print(f"sparsity {ratio}: step {dt*1e3:.1f} ms", flush=True)
+    print(f"[{PREC}] sparsity {ratio}: step {dt*1e3:.1f} ms", flush=True)
     # 12.3 GB of int8 weights per model: free before the next ratio compiles
     del out, fwd, model
     gc.collect()

@@ -110,6 +110,25 @@ def fam_w4a8_pallas():
     check("w4a8 pallas vs xla", out_p, out_x, tol=1e-2)
 
 
+def fam_w4a8_e2m1():
+    """nvfp4-a8: the Pallas dequant pass decoding e2m1 nibbles in VMEM
+    (Mosaic must legalize the exp2-based fp4-grid decode); XLA-fusion
+    route is the bit-identical oracle."""
+    from nunchaku_tpu.core.packing import pack_int4
+    from nunchaku_tpu.ops.gemm import (
+        dequant_w4a8_pallas,
+        dequant_w4a8_to_int8,
+    )
+
+    rng = np.random.default_rng(11)
+    codes = rng.integers(-7, 8, (K, N))
+    qw = pack_int4(jnp.asarray(codes), axis=0)
+    rs = jnp.asarray(rng.random((K // 16, N)) * 20 + 0.5, jnp.bfloat16)
+    got = dequant_w4a8_pallas(qw, rs, codes="e2m1", interpret=False)
+    ref = dequant_w4a8_to_int8(qw, rs, codes="e2m1")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def fam_chain():
     """GELU_QUANT chain producer + grouped-as consumer (the int8 MLP)."""
     import nunchaku_tpu.models.attention as A
@@ -405,6 +424,7 @@ FAMILIES = {
     "gemm": fam_quantize_gemm_int4,
     "nvfp4": fam_gemm_nvfp4,
     "w4a8": fam_w4a8_pallas,
+    "w4a8_e2m1": fam_w4a8_e2m1,
     "chain": fam_chain,
     "ln": fam_ln_producer,
     "flash": fam_flash,
