@@ -56,6 +56,7 @@ from .pipeline.pipeline_flux import FluxPipeline, apply_cache_on_pipe
 from .pipeline.pipeline_flux_pix2pix import FluxPix2pixTurboPipeline
 from .lora.flux.apply import set_lora_strength, update_lora_params
 from .lora.flux.convert import compose_lora
+from .models.requantize import requantize_model, w4a8_cache_dequant
 
 __all__ = [
     "AutoencoderKL",
@@ -70,6 +71,8 @@ __all__ = [
     "apply_cache_on_pipe",
     "compose_lora",
     "load_autoencoder",
+    "requantize_model",
+    "w4a8_cache_dequant",
     "load_clip_text",
     "load_clip_vision",
     "preprocess_clip_image",

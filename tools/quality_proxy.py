@@ -57,10 +57,22 @@ def realistic_int4(model, key):
             k1, k2 = jax.random.split(jax.random.fold_in(key, i))
             shp = child.qweight.shape  # (.., K/2, N) packed
             kdim = shp[-2] * 2
-            codes = jnp.clip(jnp.round(
-                jax.random.normal(k1, shp[:-2] + (kdim, shp[-1])) * 2.7
-            ), -7, 7).astype(jnp.int8)
-            child.qweight = pack_int4(codes, axis=-2)
+
+            def gen(kk, kd=kdim, n=shp[-1]):
+                c = jnp.clip(jnp.round(
+                    jax.random.normal(kk, (kd, n)) * 2.7), -7, 7
+                ).astype(jnp.int8)
+                return pack_int4(c, axis=-2)
+
+            if child.qweight.ndim == 3:
+                # layer by layer: one (K, N) f32 temp at a time, not the
+                # whole stack's (a 5.7 GiB temp at single-fc1 dims)
+                child.qweight = jnp.stack([
+                    jax.block_until_ready(gen(jax.random.fold_in(k1, j)))
+                    for j in range(shp[0])
+                ])
+            else:
+                child.qweight = gen(k1)
             ws = child.wscales
             child.wscales = (
                 jnp.abs(ws.astype(jnp.float32))
@@ -79,22 +91,34 @@ def build(mode: str):
     )
     from nunchaku_tpu.pipeline.pipeline_flux import FluxPipeline
 
-    cfg = FluxConfig(precision="int4")
+    if os.environ.get("NUNCHAKU_QP_TINY") == "1":  # CPU smoke config
+        cfg = FluxConfig(num_layers=1, num_single_layers=1,
+                         num_attention_heads=2, joint_attention_dim=512,
+                         pooled_projection_dim=256, precision="int4")
+    else:
+        cfg = FluxConfig(precision="int4")
     m = FluxTransformer2DModel.random_init(jax.random.PRNGKey(0), cfg)
     m = realistic_int4(m, jax.random.PRNGKey(1))
     if mode != "int4":
         # same math as the loader's serving-mode decode (_decode_svdq);
         # inplace: the int4 model and the int8 stacks don't coexist
         m = requantize_model(m, mode, inplace=True)
-    vae = AutoencoderKL.random_init(jax.random.PRNGKey(2))
-    vae.enable_tiling()
+    if os.environ.get("NUNCHAKU_QP_TINY") == "1":
+        vae = AutoencoderKL.random_init(
+            jax.random.PRNGKey(2), block_out_channels=(32, 32, 32, 32),
+            layers_per_block=1,
+        )
+    else:
+        vae = AutoencoderKL.random_init(jax.random.PRNGKey(2))
+        vae.enable_tiling()
     return FluxPipeline(m, vae=vae), cfg
 
 
 def run_mode(mode: str, n_seeds: int, steps: int, size: int):
     pipe, cfg = build(mode)
+    s_txt = 64 if os.environ.get("NUNCHAKU_QP_TINY") == "1" else 512
     pe = jax.random.normal(
-        jax.random.PRNGKey(3), (1, 512, cfg.joint_attention_dim), jnp.bfloat16
+        jax.random.PRNGKey(3), (1, s_txt, cfg.joint_attention_dim), jnp.bfloat16
     )
     pooled = jax.random.normal(
         jax.random.PRNGKey(4), (1, cfg.pooled_projection_dim), jnp.bfloat16
