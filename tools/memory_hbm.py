@@ -46,6 +46,7 @@ BUDGETS = {
     "int8_dense": 15.0,
     "w4a8_dense": 10.0,
     "int4_dense": 10.0,
+    "nvfp4a8_dense": 11.0,
     "int8_cached": 15.5,
     "int8_offload_resident": 8.0,
 }
@@ -214,6 +215,7 @@ def main():
         "int8": ("int8_dense", lambda: dense_analysis("int8")),
         "w4a8": ("w4a8_dense", lambda: dense_analysis("w4a8")),
         "int4": ("int4_dense", lambda: dense_analysis("int4")),
+        "nvfp4-a8": ("nvfp4a8_dense", lambda: dense_analysis("nvfp4-a8")),
         "cached": ("int8_cached", cached_analysis),
         "offload": ("int8_offload_resident", offload_resident_analysis),
     }
