@@ -146,15 +146,34 @@ class SVDQW4A4Linear(Module):
         std = 1.0 / math.sqrt(in_features)
         rescales = None
         wcodes = "int4"
+        # Kernel-legal padded buffer dims (same contract as from_weights):
+        # odd-dim models (SANA 2240, SDXL 640/960, ...) zero-pad K->256 and
+        # N->128 multiples at build time; __call__ pads input columns and
+        # slices the output back to logical_out.
+        k_log, n_log = in_features, out_features
+        in_features += (-in_features) % 256
+        out_features += (-out_features) % 128
+        pad_k = in_features - k_log
+
+        def _packed_codes(kk):
+            # padded K rows must hold ZERO codes (not random bytes): the
+            # activation padding only guarantees zero *codes* on its side,
+            # and act_unsigned's GELU shift makes padded act codes nonzero
+            if pad_k:
+                codes = jax.random.randint(kk, (k_log, out_features), -8, 8, jnp.int8)
+                return pack_int4(jnp.pad(codes, ((0, pad_k), (0, 0))), axis=0)
+            return jax.random.randint(kk, (in_features // 2, out_features), -128, 128, jnp.int8)
+
         if precision == "int8":
-            qw = jax.random.randint(ks[0], (in_features, out_features), -128, 128, jnp.int8)
+            qw = jax.random.randint(ks[0], (k_log, out_features), -128, 128, jnp.int8)
+            qw = jnp.pad(qw, ((0, pad_k), (0, 0)))
             ws = (jnp.abs(jax.random.normal(ks[1], (1, out_features))) * std / 127).astype(jnp.float32)
         elif precision in ("w4a8", "nvfp4-a8"):
             # "nvfp4-a8": e2m1-coded w4a8 (module precision stays "w4a8",
             # wcodes="e2m1", group-16 rescales) — the nvfp4 serving mode
             g = R.GROUP_INT4 if precision == "w4a8" else R.GROUP_FP4
             wcodes = "int4" if precision == "w4a8" else "e2m1"
-            qw = jax.random.randint(ks[0], (in_features // 2, out_features), -128, 128, jnp.int8)
+            qw = _packed_codes(ks[0])
             ws = (jnp.abs(jax.random.normal(ks[1], (1, out_features))) * std / 127).astype(jnp.float32)
             rescales = jax.random.uniform(
                 ks[1], (in_features // g, out_features), jnp.bfloat16, 1.0,
@@ -163,15 +182,19 @@ class SVDQW4A4Linear(Module):
             precision = "w4a8"
         else:
             g = R.group_size(precision)
-            qw = jax.random.randint(ks[0], (in_features // 2, out_features), -128, 128, jnp.int8)
+            qw = _packed_codes(ks[0])
             ws = (jnp.abs(jax.random.normal(ks[1], (in_features // g, out_features))) * std / 7).astype(jnp.bfloat16)
         smooth = jnp.ones((in_features,), jnp.bfloat16)
-        pd = jax.random.normal(ks[2], (in_features, rank), jnp.bfloat16) * 0.02
+        pd = jax.random.normal(ks[2], (k_log, rank), jnp.bfloat16) * 0.02
+        pd = jnp.pad(pd, ((0, pad_k), (0, 0)))
         pu = jax.random.normal(ks[3], (rank, out_features), jnp.bfloat16) * 0.02
         b = jax.random.normal(ks[4], (out_features,), jnp.bfloat16) * 0.02 if bias else None
-        return cls(qw, ws, smooth, pd, pu, b, rescales=rescales,
-                   precision=precision, act_unsigned=act_unsigned,
-                   wcodes=wcodes)
+        out = cls(qw, ws, smooth, pd, pu, b, rescales=rescales,
+                  precision=precision, act_unsigned=act_unsigned,
+                  wcodes=wcodes)
+        out.logical_in = k_log
+        out.logical_out = n_log
+        return out
 
     @classmethod
     def from_weights(

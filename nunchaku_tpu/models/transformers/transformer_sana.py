@@ -262,6 +262,8 @@ class SanaGLUMBConv(Module):
                 precision=self.point.precision, fuse_glu=True,
             )
             out = self.point.forward_quant(qact, asc, la)[:m]
+            if self.point.logical_out < out.shape[-1]:  # odd-dim padding
+                out = out[:, : self.point.logical_out]
             out = out.reshape(b, s, -1)
         if self.tp_axis is not None:  # point conv is row-parallel
             out = jax.lax.psum(out, self.tp_axis)

@@ -1115,6 +1115,10 @@ def dequant_w4a8_pallas(qweight, rescales, layer_idx=None, *,
     k = half * 2
     group = k // rescales.shape[0]
     bkk = min(bkk, k)
+    if k % bkk:
+        # odd-dim models (padded K = 256-multiple, e.g. SANA 2304): largest
+        # 256-multiple tile that divides K (bkk//2 must stay 128-aligned)
+        bkk = _pick_dim(k, (1024, 768, 512, 256))
     if bnn is None:
         bnn = _pick_dim(n, (4608, 3072, 2304, 1536, 1024, 512, 256, 128))
     if k % bkk or n % bnn or (bkk // 2) % 128:
@@ -2128,8 +2132,13 @@ def _svdq_gemm_w4a4(
         if is_int8:
             bk = _pick(k, (768, 512, 1024, 256))
         else:
-            # int4/w4a8 scale blocks need (bk/group) % 8 == 0 -> multiple of 512
-            bk = _pick(k, (512, 1024, 256))
+            # int4/w4a8 scale blocks need (bk/group) % 8 == 0 -> multiple
+            # of 512 (group 64) / 128 (group 16). Odd-dim K (SANA 2304,
+            # SDXL 768) has no such divisor: fall back to full-K blocks —
+            # block rows == array rows satisfies Mosaic's tiling rule even
+            # when (K/group) % 8 != 0
+            bk = _pick(k, tuple(c for c in (512, 1024, 256)
+                                if c % group == 0 and (c // group) % 8 == 0))
     bm, bn, bk = min(bm, m), min(bn, n), min(bk, k)
     if m % bm or n % bn or k % bk:
         raise ValueError(f"shape ({m},{n},{k}) not divisible by blocks ({bm},{bn},{bk})")

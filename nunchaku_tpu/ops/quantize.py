@@ -65,6 +65,13 @@ def quantize_w4a4_act_fuse_lora(
         act = jax.nn.silu(gf) if glu_act == "silu" else jax.nn.gelu(gf, approximate=True)
         x = (hidden.astype(jnp.float32) * act).astype(x.dtype)
 
+    if x.shape[-1] < proj_down.shape[0]:
+        # odd-dim model (SANA 2240, SDXL 640, ...): weight buffers are
+        # zero-padded to kernel-legal K (models/linear.py random_init /
+        # from_weights) — pad the activation columns to match. Padded
+        # weight rows hold zero codes, so the padded columns contribute
+        # nothing even when act_unsigned shifts the activation codes.
+        x = jnp.pad(x, ((0, 0), (0, proj_down.shape[0] - x.shape[-1])))
     m, k = x.shape
     lora_act = jnp.dot(
         x.astype(jnp.bfloat16),
