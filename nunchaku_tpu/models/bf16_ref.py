@@ -100,12 +100,17 @@ def _twin_linear(lin) -> Linear:
     out = Linear(
         w.astype(jnp.bfloat16), None if b is None else b.astype(jnp.bfloat16)
     )
-    # preserve logical (unpadded) dims if the source tracked them
+    # preserve logical (unpadded) dims if the source tracked them; padded
+    # K rows hold zero codes/proj_down rows by construction, so slicing
+    # them off is exact and lets the twin accept logical-dim activations
     lo = getattr(lin, "logical_out", None)
     if lo is not None and lo < w.shape[-1]:
         out.weight = out.weight[..., :lo]
         if out.bias is not None:
             out.bias = out.bias[..., :lo]
+    li = getattr(lin, "logical_in", None)
+    if li is not None and li < out.weight.shape[-2]:
+        out.weight = out.weight[..., :li, :]
     return out
 
 

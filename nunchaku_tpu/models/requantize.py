@@ -17,6 +17,7 @@ axes, mirroring bf16_ref.py.
 from __future__ import annotations
 
 import copy
+import functools
 
 import numpy as np
 import jax
@@ -25,6 +26,24 @@ import jax.numpy as jnp
 from ..core.packing import unpack_int4
 from .bf16_ref import _dequant_e2m1
 from .linear import SVDQW4A4Linear
+
+
+@functools.partial(jax.jit, static_argnames=("nvfp4",))
+def _requant_int8_layer(qw: jnp.ndarray, ws: jnp.ndarray, *, nvfp4: bool):
+    """One (K/2, N) packed layer -> (int8 (K, N) codes, (1, N) scale).
+
+    Jitted so the dequant/absmax/re-round chain fuses into one pass —
+    eager execution materializes each intermediate (K, N) f32 buffer.
+    Same math as loader.py _decode_svdq."""
+    vals = unpack_int4(qw, axis=-2).astype(jnp.float32)
+    if nvfp4:
+        vals = _dequant_e2m1(vals.astype(jnp.int8))
+    g = vals.shape[-2] // ws.shape[-2]
+    w_deq = vals * jnp.repeat(ws.astype(jnp.float32), g, axis=-2)
+    absmax = jnp.max(jnp.abs(w_deq), axis=-2, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q8 = jnp.clip(jnp.round(w_deq / scale), -127, 127).astype(jnp.int8)
+    return q8, scale
 
 
 def requantize_svdq(lin: SVDQW4A4Linear, out_precision: str) -> SVDQW4A4Linear:
@@ -67,14 +86,27 @@ def requantize_svdq(lin: SVDQW4A4Linear, out_precision: str) -> SVDQW4A4Linear:
             wcodes="e2m1" if lin.precision == "nvfp4" else "int4",
         )
     elif out_precision == "int8":
-        vals = unpack_int4(lin.qweight, axis=-2).astype(jnp.float32)
-        if lin.precision == "nvfp4":
-            vals = _dequant_e2m1(vals.astype(jnp.int8))
-        g = vals.shape[-2] // ws.shape[-2]
-        w_deq = vals * jnp.repeat(ws, g, axis=-2)  # (.., K, N)
-        absmax = jnp.max(jnp.abs(w_deq), axis=-2, keepdims=True)
-        scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
-        q8 = jnp.clip(jnp.round(w_deq / scale), -127, 127).astype(jnp.int8)
+        if lin.qweight.ndim == 3:
+            # stacked (L, K/2, N): layer by layer, synchronously — the
+            # whole-stack eager path materializes several f32 (L, K, N)
+            # temps (~5.7 GiB each at the FLUX single-fc1 stack) and OOMs
+            # a 16 GiB chip; the jitted per-layer fusion bounds live temps
+            # to one (K, N) f32 buffer (~150 MB)
+            outs = [
+                jax.block_until_ready(_requant_int8_layer(
+                    lin.qweight[i],
+                    ws[i] if ws.ndim == 3 else ws,
+                    nvfp4=lin.precision == "nvfp4",
+                ))
+                for i in range(lin.qweight.shape[0])
+            ]
+            q8 = jnp.stack([o[0] for o in outs])
+            scale = jnp.stack([o[1] for o in outs])
+            del outs
+        else:
+            q8, scale = _requant_int8_layer(
+                lin.qweight, ws, nvfp4=lin.precision == "nvfp4"
+            )
         new = SVDQW4A4Linear(
             q8,
             scale.astype(jnp.float32),

@@ -141,30 +141,60 @@ def run_mode(mode: str, n_seeds: int, steps: int, size: int):
 
 
 def main():
-    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    size = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+    """Each serving mode runs in its OWN process and saves an npz: the
+    16 GiB chip cannot hold mode N's weights while mode N-1's allocator
+    state is still warm (the in-process loop OOM'd building int8 after the
+    int4 run). Orchestration:
 
-    from nunchaku_tpu.metrics.lpips import compute_lpips
+      python tools/quality_proxy.py --mode int4 --save /tmp/qp_int4.npz [n steps size]
+      python tools/quality_proxy.py --mode int8 --save /tmp/qp_int8.npz [n steps size]
+      python tools/quality_proxy.py --mode w4a8 --save /tmp/qp_w4a8.npz [n steps size]
+      python tools/quality_proxy.py --report /tmp/qp_int4.npz /tmp/qp_int8.npz /tmp/qp_w4a8.npz
 
-    ref_imgs, ref_lats = run_mode("int4", n_seeds, steps, size)
-    table = {}
-    for mode in ("int8", "w4a8"):
-        gi, gl = run_mode(mode, n_seeds, steps, size)
-        lp = compute_lpips(ref_imgs, gi)
-        rel = float(
-            np.linalg.norm(gl - ref_lats) / (np.linalg.norm(ref_lats) + 1e-9)
-        )
-        table[mode] = {"lpips_vs_int4": round(lp, 5),
-                       "latent_rel_err": round(rel, 5)}
-        print(json.dumps({mode: table[mode]}), flush=True)
-    print(json.dumps({
-        "quality_proxy": table, "n_seeds": n_seeds, "steps": steps,
-        "size": size,
-        "note": ("synthetic FLUX-dims twin (realistic code/scale dists);"
-                 " int4 = parity anchor; from-scratch LPIPS"
-                 " (random-feature AlexNet when no weights file)"),
-    }))
+    Positional [n_seeds steps size] keep their defaults (2, 20, 1024)."""
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--report":
+        from nunchaku_tpu.metrics.lpips import compute_lpips
+
+        ref = np.load(argv[1])
+        table = {}
+        for path in argv[2:]:
+            d = np.load(path)
+            mode = str(d["mode"])
+            lp = compute_lpips(ref["images"], d["images"])
+            rel = float(
+                np.linalg.norm(d["latents"] - ref["latents"])
+                / (np.linalg.norm(ref["latents"]) + 1e-9)
+            )
+            table[mode] = {"lpips_vs_int4": round(lp, 5),
+                           "latent_rel_err": round(rel, 5)}
+        print(json.dumps({
+            "quality_proxy": table,
+            "n_seeds": int(ref["n_seeds"]), "steps": int(ref["steps"]),
+            "size": int(ref["size"]),
+            "note": ("synthetic FLUX-dims twin (realistic code/scale dists);"
+                     " int4 = parity anchor; from-scratch LPIPS"
+                     " (random-feature AlexNet when no weights file)"),
+        }))
+        return
+
+    mode, save = "int4", None
+    if "--mode" in argv:
+        i = argv.index("--mode")
+        mode = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    if "--save" in argv:
+        i = argv.index("--save")
+        save = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    n_seeds = int(argv[0]) if len(argv) > 0 else 2
+    steps = int(argv[1]) if len(argv) > 1 else 20
+    size = int(argv[2]) if len(argv) > 2 else 1024
+    imgs, lats = run_mode(mode, n_seeds, steps, size)
+    if save:
+        np.savez_compressed(save, images=imgs, latents=lats, mode=mode,
+                            n_seeds=n_seeds, steps=steps, size=size)
+        print(f"saved {save}: images {imgs.shape} latents {lats.shape}")
 
 
 if __name__ == "__main__":
