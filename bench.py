@@ -246,8 +246,9 @@ def main():
 
         # ---- ride-along modes (one at a time on the 16 GiB chip) ----
         # run_cached/run_natural close over pipe — drop them too or the
-        # closure cells keep the w4a8 weights alive
-        del pipe, ma, args, run_cached, run_natural
+        # closure cells keep the w4a8 weights alive; t5 (T5-XXL AWQ,
+        # ~2.4 GiB) must go too or the 12.3 GiB int8 build OOMs
+        del pipe, ma, args, run_cached, run_natural, t5
         gc.collect()
 
         # int8 turbo (12.3 GiB weights): the speed ceiling the dial reaches
