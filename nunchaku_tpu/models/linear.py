@@ -614,10 +614,18 @@ class AWQW4A16Linear(Module):
         return cls(qw, ws, wz, b, group_size=group_size)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.gemv import AWQ_XLA_MIN_M, awq_w4a16_linear_xla
+
         lead = x.shape[:-1]
         m = math.prod(lead)
         x2d = x.reshape(m, x.shape[-1])
-        out = awq_w4a16_linear(
+        # M-routed like the reference (gemv at batch < 8, gemm_awq above,
+        # text_encoders/linear.py:128-142): the Pallas kernel's VPU decode
+        # is M-independent and dominates encoder-shaped calls — the XLA
+        # dequant+MXU route took the T5-XXL 512-token encode 2.07 s -> see
+        # ops/gemv.py awq_w4a16_linear_xla
+        fwd = awq_w4a16_linear if m < AWQ_XLA_MIN_M else awq_w4a16_linear_xla
+        out = fwd(
             x2d,
             self.qweight,
             self.wscales,

@@ -123,18 +123,24 @@ class Gemma2Encoder(Module):
                    lys, z())
 
     def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray | None = None):
-        """(B, S) -> last hidden states (B, S, d)."""
-        b, s = input_ids.shape
-        d = self.embed.shape[-1]
-        x = jnp.take(self.embed, input_ids, axis=0).astype(jnp.float32)
-        x = x * jnp.sqrt(jnp.float32(d))
-        causal = jnp.triu(jnp.full((s, s), -1e30, jnp.float32), k=1)[None, None]
-        if attention_mask is not None:
-            pad = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e30)
-            causal = causal + pad
-        for layer in self.layers:
-            x = layer(x, causal)
-        return _rms(x, self.final_norm).astype(jnp.bfloat16)
+        """(B, S) -> last hidden states (B, S, d). One jitted program
+        (like t5._t5_encode — the eager loop is tunnel-dispatch-bound)."""
+        return _gemma2_encode(self, input_ids, attention_mask)
+
+
+@jax.jit
+def _gemma2_encode(model: "Gemma2Encoder", input_ids, attention_mask):
+    b, s = input_ids.shape
+    d = model.embed.shape[-1]
+    x = jnp.take(model.embed, input_ids, axis=0).astype(jnp.float32)
+    x = x * jnp.sqrt(jnp.float32(d))
+    causal = jnp.triu(jnp.full((s, s), -1e30, jnp.float32), k=1)[None, None]
+    if attention_mask is not None:
+        pad = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e30)
+        causal = causal + pad
+    for layer in model.layers:
+        x = layer(x, causal)
+    return _rms(x, model.final_norm).astype(jnp.bfloat16)
 
 
 def load_gemma2_encoder(path_or_tensors, *, config: dict | None = None) -> Gemma2Encoder:

@@ -122,3 +122,47 @@ def awq_w4a16_linear(
     if bias is not None:
         out = out + bias.astype(jnp.float32)[None, :]
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("group_size",))
+def awq_w4a16_linear_xla(
+    x: jnp.ndarray,
+    qweight: jnp.ndarray,
+    wscales: jnp.ndarray,
+    wzeros: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    *,
+    group_size: int = 64,
+) -> jnp.ndarray:
+    """Large-M AWQ route: dequant to bf16 once (one XLA fusion) and ride
+    the MXU dot.
+
+    The Pallas gemv kernel decodes every weight element on the VPU per
+    call — right for the tiny-M modulation linears it was built for
+    (reference dispatches gemv_awq at batch < 8,
+    nunchaku/models/text_encoders/linear.py:128-142, and gemm_awq above),
+    but VPU-decode-bound at ~2 s for a full T5-XXL 512-token encode.
+    This route's cost is one bf16 materialization of the weight
+    (write + read ≈ 2.4 GiB packed → 9.4 GiB bf16 for T5-XXL, ~25 ms at
+    HBM speed) + the MXU dot — the TPU analogue of the reference's
+    gemm_awq kernel. Same math as the kernel: f32 ``q*s - z`` rounded
+    once to bf16."""
+    from ..core.packing import unpack_int4
+
+    q = unpack_int4(qweight, axis=0, unsigned=True).astype(jnp.float32)
+    s = jnp.repeat(wscales.astype(jnp.float32), group_size, axis=0)
+    z = jnp.repeat(wzeros.astype(jnp.float32), group_size, axis=0)
+    w = (q * s - z).astype(jnp.bfloat16)
+    out = jnp.dot(x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[None, :]
+    return out
+
+
+# reference dispatch boundary: gemv at batch < 8 (linear.py:128-142). On
+# TPU the gemv kernel's VPU decode cost is M-independent, so the XLA
+# dequant+dot route wins from a low threshold; 16 keeps the per-step
+# modulation linears (M = B <= 8 after row padding) on the kernel, which
+# measured ~7 ms/step in-model, and sends encoder-shaped calls (M = S)
+# to the MXU route (T5-XXL 512-token encode: 2.07 s -> measured A/B below).
+AWQ_XLA_MIN_M = 16
