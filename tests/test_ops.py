@@ -141,6 +141,36 @@ class TestGemv:
         err = np.abs(np.asarray(out) - ref).max() / (np.abs(ref).max() + 1e-9)
         assert err < 5e-3, err
 
+    @pytest.mark.parametrize("m", [1, 8, 512])
+    def test_awq_xla_route_matches_kernel(self, m):
+        """The large-M XLA dequant+dot route (round 5: T5-XXL encode was
+        VPU-decode/dispatch-bound on the gemv kernel) must agree with the
+        Pallas kernel at every M — the AWQW4A16Linear dispatch boundary
+        (AWQ_XLA_MIN_M) mirrors the reference's gemv/gemm_awq split
+        (text_encoders/linear.py:128-142)."""
+        from nunchaku_tpu.models.linear import AWQW4A16Linear
+        from nunchaku_tpu.ops.gemv import (
+            AWQ_XLA_MIN_M,
+            awq_w4a16_linear_xla,
+        )
+
+        lin = AWQW4A16Linear.random_init(jax.random.PRNGKey(0), 512, 384)
+        x = jnp.asarray(rng.normal(size=(m, 512)), jnp.bfloat16)
+        a = np.asarray(awq_w4a16_linear(
+            x, lin.qweight, lin.wscales, lin.wzeros, lin.bias,
+            group_size=lin.group_size), np.float32)
+        b = np.asarray(awq_w4a16_linear_xla(
+            x, lin.qweight, lin.wscales, lin.wzeros, lin.bias,
+            group_size=lin.group_size), np.float32)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+        assert rel < 1e-5, rel
+        routed = np.asarray(lin(x), np.float32)
+        # lin() casts its f32 accumulator back to the activation dtype
+        want = np.asarray(jnp.asarray(a if m < AWQ_XLA_MIN_M else b, jnp.bfloat16),
+                          np.float32)
+        rel2 = np.linalg.norm(routed - want) / (np.linalg.norm(want) + 1e-9)
+        assert rel2 < 1e-5, rel2
+
 
 class TestFlashAttention:
     @pytest.mark.parametrize("s,skv", [(256, 256), (320, 256)])
